@@ -1,24 +1,124 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.EdgeOps
+import graft.ingest.WebGraphFixture
+import graft.model.PagerankOptions
+import graft.pagerank.PageRank
+
+/** Benchmark main — prints ONE JSON line.
+  *
+  * North metric (BASELINE.json / BASELINE.md): edges/sec per PageRank
+  * superstep, with throughput scaling efficiency ≥ 0.8 from N to 4N
+  * parallelism. No real cluster exists in this sandbox, so the
+  * two-cluster-size criterion is evidenced by running the identical job at
+  * local[8] (N) and local[32] (4N) on the same deterministic fixture
+  * (protocol in BASELINE.md; mirrors the reference's thread-doubling
+  * scaling, /root/reference/README.md:20).
+  *
+  * Throughput is measured over a fixed number of full supersteps (per-
+  * superstep work of static PR is iteration-invariant), after a warm-up
+  * run, matching the reference's repeat-averaging
+  * (/root/reference/inc/_utility.hxx:113-119). Convergence-to-1e-10 is
+  * reported separately (iterations + wall) at the 4N level.
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.local(cores)
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "300000").toLong
+    val throughputSteps = sys.env.getOrElse("GRAFT_BENCH_STEPS", "20").toInt
+
+    val qTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- Phase 1: headline relational/text/graph queries on the sf dir ----
+    {
+      val s = session(cpus)
+      val headline = Seq("q_degree_distribution", "q_indegree", "q_triangle_count",
+        "q_pagerank_iter3", "q_dedup_exact", "q_token_count", "q_text_quality",
+        "q_minhash_lsh", "q_ann_bruteforce", "q_connected_components")
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val (_, dt) = time { fn(s, sfDir).collect() }
+          qTimes(name) = dt
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- Phase 2: PageRank throughput at N (local[8]) and 4N (local[32]) --
+    def pagerankThroughput(cores: Int): (Double, Double, Long) = {
+      val s = session(cores)
+      val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF()
+      val verts = s.range(benchPages).select(col("id"))
+      val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts)
+        .cache()
+      val nEdges = y.count()
+      // warm-up (JIT + cache parity; discarded)
+      new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 3)).static(y)
+      // measured: fixed number of full supersteps
+      val run = new PageRank(s,
+        PagerankOptions(tolerance = 0.0, maxIterations = throughputSteps)).static(y)
+      val sec = run.stats.computeTimeMs / 1e3
+      val edgesPerSecPerStep = nEdges.toDouble * run.stats.iterations / sec
+      (edgesPerSecPerStep, sec, nEdges)
+    }
+
+    val (thr8, sec8, nE) = pagerankThroughput(8)
+    qTimes("pagerank_throughput_local8") = sec8
+    val (thr32, sec32, _) = pagerankThroughput(32)
+    qTimes("pagerank_throughput_local32") = sec32
+    val efficiency = thr32 / (4.0 * thr8)
+
+    // ---- Phase 3: convergence + dynamic-frontier run at 4N --------------
+    val s = session(cpus)
+    val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF().cache()
+    val m = staged.count()
+    val base90 = staged.agg(expr(s"approx_percentile(seq, 0.9, 10000)"))
+      .collect()(0) match { case r => r.getLong(0) }
+    val verts = s.range(benchPages).select(col("id"))
+    val x = EdgeOps.withSelfLoops(
+      staged.where(col("seq") < base90).select("src", "dst"), verts).cache()
+    val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts).cache()
+    val ins = staged.where(col("seq") >= base90).select("src", "dst")
+    val none = ins.limit(0)
+
+    val pr = new PageRank(s)
+    val (prevRun, tStaticX) = time { pr.static(x) }
+    qTimes("pagerank_static_converge_1e10") = tStaticX
+    val prev = prevRun.ranks
+    val (dfRun, tDf) = time { pr.dynamicFrontier(x, y, ins, none, prev) }
+    qTimes("pagerank_dynamic_frontier_converge") = tDf
+    val speedupDfVsStatic = tStaticX / tDf
+
+    val qs = qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
+        s""""unit":"edges/sec/superstep","queries":$qs,"sf":"$sfDir",""" +
+        s""""bench_pages":$benchPages,"bench_edges":$nE,""" +
+        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
+        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
+        s""""static_converge_iters":${prevRun.stats.iterations},""" +
+        s""""df_converge_iters":${dfRun.stats.iterations},""" +
+        f""""df_speedup_vs_static":$speedupDfVsStatic%.2f}"""
+    println(json)
+    s.stop()
   }
 }

@@ -1,13 +1,342 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, LabelPropagation, TriangleCount}
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.graph.EdgeOps
+import graft.ingest.WebGraphFixture
+import graft.model.PagerankOptions
+import graft.multimodal.Multimodal
+import graft.pagerank.PageRank
+import graft.text.TextOps
+
+/** Driver contract — queries + DuckDB oracle SQL (SURVEY.md §5, §7).
+  *
+  * Graph queries run over a deterministic edge table derived from the
+  * driver's lineitem/orders parquet (SQL-expressible in DuckDB for the exact
+  * oracle), and over the synthetic web fixture (non-SQL-expressible ranks are
+  * covered by the in-memory Scala oracle in ScalaTest instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Shared derived graph: deterministic, sparse (avg degree ~2), DuckDB-
+    * expressible. 4k+ vertices over a 5000-id space. */
+  private def derivedEdges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 5000).as("src"),
+        (col("l_partkey") % 5000).as("dst"))
+      .distinct()
+
+  private val edgesCte =
+    "SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst " +
+      "FROM lineitem WHERE l_linenumber = 1"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+
+  /** Web fixture graph (pages → links → ids), small scale for Verify. */
+  private def webGraph(s: SparkSession, pageCount: Long): (DataFrame, DataFrame) = {
+    val pages = WebGraphFixture.pages(s, pageCount).toDF()
+    val (dict, staged) = EdgeOps.stage(pages)
+    (dict, staged)
+  }
+
+  /** Flagship: static PageRank over links extracted from the synthetic pages
+    * table (driver smoke-checks rows > 0 on sf0.001 — sfDir is unused; the
+    * fixture is self-synthesized per the north rule). */
+  def entry(spark: SparkSession): DataFrame = {
+    val (dict, staged) = webGraph(spark, 200L)
+    val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged), dict.select("id"))
+    new PageRank(spark).static(y).ranks
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- graph (SQL)
+    "q_degree_distribution" -> ((s, dir) =>
+      derivedEdges(s, dir).groupBy("src").agg(count(lit(1)).as("out_deg"))
+        .groupBy("out_deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("out_deg")),
+
+    "q_graph_summary" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val e2 = EdgeOps.withSelfLoops(e, EdgeOps.vertices(e))
+      e2.agg(
+        count(lit(1)).as("n_edges"),
+        count(when(col("src") === col("dst"), 1)).as("n_self"),
+        countDistinct(col("src")).as("n_vertices"))
+    }),
+
+    "q_symmetrize_count" -> ((s, dir) =>
+      EdgeOps.symmetrize(derivedEdges(s, dir))
+        .agg(count(lit(1)).as("n_edges"))),
+
+    "q_indegree" -> ((s, dir) =>
+      EdgeOps.linksWithDeg(derivedEdges(s, dir))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("in_deg"), sum("outDeg").as("sum_src_outdeg"))
+        .orderBy("dst")),
+
+    "q_triangle_count" -> ((s, dir) => {
+      val n = TriangleCount.global(s, EdgeOps.symmetrize(derivedEdges(s, dir)))
+      import s.implicits._
+      Seq(n).toDF("triangles")
+    }),
+
+    "q_pagerank_iter3" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val y = EdgeOps.withSelfLoops(e, EdgeOps.vertices(e))
+      val pr = new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 3))
+      pr.static(y).ranks.select(col("id"),
+        round(col("rank"), 6).as("rank3")).orderBy("id")
+    }),
+
+    "q_batch_apply" -> ((s, dir) => {
+      val base = derivedEdges(s, dir)
+      val ins = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") % 5000).as("src"),
+          (col("o_custkey") % 5000).as("dst")).distinct()
+      val del = base.where(col("src") % 11 === 0)
+      EdgeOps.applyBatch(base, ins, del)
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("src")).as("n_src"),
+          countDistinct(col("dst")).as("n_dst"))
+    }),
+
+    // -------------------------------------------------- graph (Scala-oracle)
+    "q_connected_components" -> ((s, dir) =>
+      ConnectedComponents.run(s, EdgeOps.symmetrize(derivedEdges(s, dir)))
+        .orderBy("id")),
+
+    "q_label_propagation" -> ((s, dir) =>
+      LabelPropagation.run(s, EdgeOps.symmetrize(derivedEdges(s, dir)), rounds = 4)
+        .orderBy("id")),
+
+    "q_pagerank_web_static" -> ((s, dir) => {
+      val (dict, staged) = webGraph(s, 400L)
+      val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged), dict.select("id"))
+      new PageRank(s).static(y).ranks
+        .select(col("id"), round(col("rank"), 9).as("rank")).orderBy("id")
+    }),
+
+    "q_pagerank_web_dynamic_frontier" -> ((s, dir) => {
+      val (dict, staged) = webGraph(s, 400L)
+      val m = staged.count()
+      val base90 = (0.9 * m).toLong
+      val verts = dict.select("id")
+      val x = EdgeOps.withSelfLoops(
+        EdgeOps.simple(staged.where(col("seq") < base90)), verts)
+      val ins = staged.where(col("seq") >= base90).select("src", "dst")
+      val y = EdgeOps.applyBatch(x, ins, staged.limit(0).select("src", "dst"))
+      val pr = new PageRank(s)
+      val prev = pr.static(x).ranks
+      pr.dynamicFrontier(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 9).as("rank")).orderBy("id")
+    }),
+
+    // --------------------------------------------------------- text / dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keep_id")),
+
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokensWs(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        (TextOps.qualityScore(col("text")) + lit(0.0)).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_lang_pred" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint")).orderBy("doc_id")),
+
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), n = 5, k = 32, bands = 8, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 6).orderBy("a", "b")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir).where(col("doc_id") < 100), n = 5,
+        threshold = 0.2).orderBy("a", "b")),
+
+    // ----------------------------------------------------------- embeddings
+    "q_ann_bruteforce" -> ((s, dir) => {
+      // ranks on the ROUNDED cosine (like the DuckDB oracle) so fp noise in
+      // the last ulp can't flip near-tied neighbors between engines; +0.0
+      // normalizes -0.0.
+      val queries = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = emb(s, dir).crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (round(Ann.cosine(col("embedding"), col("qvec")), 6) + lit(0.0)).as("cos_r"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5).orderBy("qid", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val queries = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.lshTopK(emb(s, dir), queries, 5, nBits = 3, nTables = 8)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_embedding_neardup" -> ((s, dir) =>
+      // driver embeddings are near-random (pair cosine tops out ~0.4) —
+      // 0.3 is the "near-duplicate" band for this corpus
+      Ann.nearDupPairs(emb(s, dir), threshold = 0.3, nBits = 3, nTables = 8)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("a", "b")),
+
+    // ----------------------------------------------------------- multimodal
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, dir))
+      Multimodal.imageFeatures(s, media, featureDim = 8).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("meanLuma"), 6).as("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
+    "q_video_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, dir))
+      Multimodal.sampleFrames(s, media, everyMs = 5000, maxFrames = 4).toDF()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-equivalent SQL for the exactly-SQL-expressible queries above.
+    * Column names/aliases match the Spark side 1:1 (driver hashes values
+    * after sorting columns by name). Sums are cast to BIGINT (DuckDB sums
+    * integers into HUGEINT). */
+  def oracleSql: Map[String, String] = Map(
+    "q_degree_distribution" ->
+      s"""WITH edges AS ($edgesCte)
+         |SELECT out_deg, count(*) AS n_vertices
+         |FROM (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)
+         |GROUP BY out_deg ORDER BY out_deg""".stripMargin,
+
+    "q_graph_summary" ->
+      s"""WITH edges AS ($edgesCte),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+         |e2 AS (SELECT src, dst FROM edges UNION SELECT v, v FROM verts)
+         |SELECT count(*) AS n_edges,
+         |       count(*) FILTER (WHERE src = dst) AS n_self,
+         |       count(DISTINCT src) AS n_vertices
+         |FROM e2""".stripMargin,
+
+    "q_symmetrize_count" ->
+      s"""WITH edges AS ($edgesCte)
+         |SELECT count(*) AS n_edges
+         |FROM (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)""".stripMargin,
+
+    "q_indegree" ->
+      s"""WITH edges AS ($edgesCte),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+         |SELECT e.dst AS dst, count(*) AS in_deg,
+         |       CAST(sum(deg.d) AS BIGINT) AS sum_src_outdeg
+         |FROM edges e JOIN deg ON deg.src = e.src
+         |GROUP BY e.dst ORDER BY dst""".stripMargin,
+
+    "q_triangle_count" ->
+      s"""WITH edges AS ($edgesCte),
+         |und AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b
+         |        FROM edges WHERE src <> dst GROUP BY 1, 2),
+         |w AS (SELECT ab.a, ab.b, bc.b AS c FROM und ab JOIN und bc ON ab.b = bc.a)
+         |SELECT count(*) AS triangles
+         |FROM w JOIN und ac ON ac.a = w.a AND ac.b = w.c""".stripMargin,
+
+    "q_pagerank_iter3" ->
+      s"""WITH edges0 AS ($edgesCte),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
+         |edges AS (SELECT src, dst FROM edges0 UNION SELECT v, v FROM verts),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM verts),
+         |r0 AS (SELECT v AS id, 1.0 / (SELECT n FROM n) AS rank FROM verts),
+         |r1 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM n) + 0.85 * sum(r.rank / deg.d) AS rank
+         |       FROM edges e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM n) + 0.85 * sum(r.rank / deg.d) AS rank
+         |       FROM edges e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM n) + 0.85 * sum(r.rank / deg.d) AS rank
+         |       FROM edges e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst)
+         |SELECT id, round(rank, 6) AS rank3 FROM r3 ORDER BY id""".stripMargin,
+
+    "q_batch_apply" ->
+      s"""WITH base AS ($edgesCte),
+         |ins AS (SELECT DISTINCT o_orderkey % 5000 AS src, o_custkey % 5000 AS dst
+         |        FROM orders WHERE o_orderkey % 7 = 0),
+         |del AS (SELECT src, dst FROM base WHERE src % 11 = 0),
+         |afterdel AS (SELECT src, dst FROM base EXCEPT SELECT src, dst FROM del),
+         |y AS (SELECT src, dst FROM afterdel UNION SELECT src, dst FROM ins)
+         |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_src,
+         |       count(DISTINCT dst) AS n_dst FROM y""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dupes
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, round(greatest(
+        |  0.4 * least(length(text) / 500.0, 1.0) +
+        |  0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) +
+        |  0.2 * (1.0 - least(abs(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+        |      greatest(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) - 5.0) / 5.0, 1.0)) -
+        |  0.1 * least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0 / greatest(length(text), 1), 1.0),
+        |  0.0), 6) + 0.0 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_pred" ->
+      """SELECT doc_id, CASE
+        |  WHEN en = 0 AND de = 0 THEN 'und'
+        |  WHEN en >= de THEN 'en' ELSE 'de' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-zäöüß]+'),
+        |    x -> x IN ('the','and','of','to','a','in','is','it','that','for','was','on','with','as','be'))) AS en,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-zäöüß]+'),
+        |    x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','den','von','im','auf','sich'))) AS de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) /
+        |      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) *
+        |           list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])), 6) AS cos_r
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id, cos_r,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, cos_r + 0.0 AS cos_r, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  )
 }

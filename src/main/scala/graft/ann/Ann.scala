@@ -1,0 +1,109 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the (huge) corpus, one scan, per-query top-k via window.
+  *    The corpus is never shuffled; the only exchange is O(|queries|·k).
+  *  - [[lshTopK]] — the scale path: seeded random-hyperplane signatures
+  *    bucket the corpus once (linear scan, cacheable); queries probe only
+  *    their bucket(s), then exact-rerank within candidates. Recall/cost is
+  *    tuned by (nBits, nTables).
+  *
+  * Dot products use `aggregate(zip_with(...))` — pure codegen'd expressions,
+  * no UDF.
+  */
+object Ann {
+
+  /** Cosine similarity of two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Exact top-k cosine neighbors of each query.
+    * @param corpus  (vec_id, embedding)
+    * @param queries (qid, qvec) — small enough to broadcast
+    * @return (qid, vec_id, cos, rank) rank 1..k, ties broken by vec_id asc */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Seeded random hyperplane for bit i of table t: components are
+    * deterministic xxhash64-derived pseudo-gaussians (sum of 4 uniforms). */
+  private def hyperplaneSign(vec: Column, table: Int, bit: Int): Column = {
+    // h(v) = Σ_j v[j] * g(table,bit,j)  where g is a seeded pseudo-random
+    // weight in [-1,1): xxhash64(table,bit,j) scaled.
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (v, j) => v * (call_function("xxhash64", lit(table * 64 + bit), j)
+          .cast("double") / lit(9.223372036854776e18))),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** nBits-bit signature for one LSH table. */
+  def signature(vec: Column, table: Int, nBits: Int): Column =
+    (0 until nBits).map(b =>
+      hyperplaneSign(vec, table, b) * lit(1 << b)).reduce(_ + _)
+
+  /** Bucket the corpus: one row per (table, bucket, vec). */
+  def index(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("table"),
+            signature(col("embedding"), t, nBits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
+  /** Approximate top-k: probe each query's bucket in every table, union
+    * candidates, exact-rerank. Same output shape as [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val idx = index(corpus, nBits, nTables)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qIdx = queries.select(col("qid"), col("qvec"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("table"),
+            signature(col("qvec"), t, nBits).as("bucket"))): _*)).as("tb"))
+      .select(col("qid"), col("qvec"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val cands = idx.join(broadcast(qIdx), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cands.select(col("qid"), col("vec_id"),
+      cosine(col("embedding"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
+    * (exact within-bucket verify): the embedding analog of MinHash dedup. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      nBits: Int = 8, nTables: Int = 4): DataFrame = {
+    val idx = index(corpus, nBits, nTables)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = idx.select(col("table"), col("bucket"),
+      col("vec_id").as("a"), col("embedding").as("va"))
+    val r = idx.select(col("table"), col("bucket"),
+      col("vec_id").as("b"), col("embedding").as("vb"))
+    l.join(r, Seq("table", "bucket")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Document deduplication for training-data pipelines — exact and near-dup.
+  *
+  * Scale notes (100 TB): exact dedup is a single hash aggregation over the
+  * content hash (never the raw text — group keys stay 8 bytes). Near-dup
+  * goes shingle→MinHash→band-bucket join, which is linear in corpus size +
+  * candidate pairs; the quadratic all-pairs verify only ever runs inside a
+  * bucket. No driver-side loops anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text. Grouping by
+    * xxhash64(text) keeps shuffle keys fixed-width; hash collisions are
+    * resolved by grouping on (hash, text) — same plan shape, exact result. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("h", xxhash64(col("text")))
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dupes"))
+      .select("keep_id", "dupes")
+
+  /** Character n-gram shingles of the lowercased text, distinct, hashed to
+    * 64-bit. `(doc_id, shingle)` exploded rows. */
+  def shingles(documents: DataFrame, n: Int = 5): DataFrame = {
+    val t = lower(col("text"))
+    val grams = transform(
+      sequence(lit(0), greatest(length(t) - n, lit(0))),
+      i => xxhash64(t.substr(i + 1, lit(n))))
+    documents.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * Quadratic in the worst case — the exact verifier for tests / the final
+    * within-bucket step of LSH. Pairs (a<b, jaccard). */
+  def ngramJaccard(documents: DataFrame, n: Int = 5,
+      threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val out = common
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("common").cast("double") /
+          (col("sza") + col("szb") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    out
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set, as the
+    * standard xxhash64(seed_i, shingle) permutation approximation. Returns
+    * (doc_id, sig: array<long>). One aggregation, no UDAF needed. */
+  def minhash(documents: DataFrame, n: Int = 5, k: Int = 32): DataFrame = {
+    val sh = shingles(documents, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (bands×rows=k),
+    * bucket-join on banded hash, verify candidates by signature similarity.
+    * (a<b, simEstimate = fraction of matching minhashes). */
+  def minhashLsh(documents: DataFrame, n: Int = 5, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val sig = minhash(documents, n, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(bnd, slice(col("sig"), bnd * rows + 1, lit(rows))
+            .cast("string")))).as(Seq("band", "bucket")))
+    val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"),
+      col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"),
+      col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          eq => eq)).cast("double") / k).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Pure expression: for each bit, sum(±1 per token) > 0. */
+  def simhashCol(text: Column): Column = {
+    val tokens = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = sequence(lit(0), lit(63))
+    // shiftright/shiftleft with a Column shift amount need call_function
+    // (the Scala helpers only take Int shifts).
+    val bitvals = transform(bits, b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bitvals, bits, (v, b) => call_function("shiftleft", v, b)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: bucket on 4 × 16-bit sub-bands (any exact
+    * sub-band match is a candidate — standard Hamming-LSH), then verify
+    * Hamming distance ≤ maxHamming. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSig = documents.select(col("doc_id"), simhashCol(col("text")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"),
+      col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"),
+      col("band"), col("bucket"))
+    val hamming = size(filter(
+      transform(sequence(lit(0), lit(63)),
+        b => call_function("shiftright",
+          col("siga").bitwiseXOR(col("sigb")), b).bitwiseAND(1)),
+      x => x === 1))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, scalable dense-id assignment.
+  *
+  * Why not the obvious alternatives:
+  *  - `monotonically_increasing_id` is partition-layout-dependent (not stable
+  *    across runs/cluster sizes) — violates the determinism contract;
+  *  - a global `row_number()` window has a single-partition sort bottleneck —
+  *    dead at 10^12 rows;
+  *  - `xxhash64(url)` is sparse and collides (~n²/2^65 ≈ 2.7e4 collisions at
+  *    10^12 urls) — violates exactness.
+  *
+  * Instead: two-phase bucket-offset ranking. Phase 1 counts rows per
+  * deterministic bucket (one tiny agg, ≤`buckets` rows to the driver);
+  * phase 2 ranks within each bucket in parallel (Window partitioned by
+  * bucket) and adds the broadcast cumulative offset. Fully deterministic,
+  * no global sort, parallelism = `buckets`.
+  */
+object DenseId {
+
+  /** url dictionary: distinct urls → dense ids [0, n). Ids are a
+    * deterministic bijection (hash-bucketed, url-sorted within bucket). */
+  def urlDictionary(urls: DataFrame, buckets: Int = 1024): DataFrame = {
+    val withB = urls.select(col(urls.columns.head).as("url")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+    withOffsets(withB, buckets, col("url")).select(col("url"), col("id"))
+  }
+
+  /** Dense rank of a unique numeric key, preserving key order — used to
+    * assign the global edge `seq`. Buckets are key ranges, so
+    * rank order == key order. */
+  def rankByKey(df: DataFrame, keyCol: String, buckets: Int = 1024): DataFrame = {
+    val Array(mn, mx) = df.agg(min(keyCol), max(keyCol)).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val step = math.max(1L, (mx - mn) / buckets + 1L)
+    val withB = df.withColumn("bucket",
+      ((col(keyCol) - lit(mn)) / lit(step)).cast("int"))
+    withOffsets(withB, buckets, col(keyCol))
+      .withColumnRenamed("id", "seq").drop("bucket")
+  }
+
+  private def withOffsets(withBucket: DataFrame, buckets: Int,
+      order: org.apache.spark.sql.Column): DataFrame = {
+    val counts = withBucket.groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](buckets + 1)
+    var acc = 0L
+    var i = 0
+    while (i < buckets) {
+      offsets(i) = acc
+      acc += counts.getOrElse(i, 0L)
+      i += 1
+    }
+    val offCol = element_at(typedLit(offsets.toSeq), col("bucket") + 1)
+    val w = Window.partitionBy("bucket").orderBy(order)
+    withBucket.withColumn("id", offCol + row_number().over(w) - 1)
+  }
+}

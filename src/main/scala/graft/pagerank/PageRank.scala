@@ -1,0 +1,340 @@
+package graft.pagerank
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.EdgeOps
+import graft.util.Ckpt._
+import graft.model.{PagerankOptions, PagerankStats}
+
+/** Result of one PageRank run: converged per-vertex ranks + phase stats —
+  * mirrors the reference's PagerankResult (/root/reference/inc/pagerank.hxx:64-113). */
+final case class PagerankRun(ranks: DataFrame, stats: PagerankStats)
+
+/** The five PageRank variants of the reference, as BSP Dataset supersteps.
+  *
+  * Numeric contract (SURVEY.md §2.5): damping P=0.85, teleport C0=(1−P)/N,
+  * stop when L∞(a−r) < tolerance=1e-10, maxIterations=500
+  * (/root/reference/inc/pagerank.hxx:52,364, main.cxx:62). The kernel is the
+  * pull-based update a[v] = C0 + P·Σ_{u∈in(v)} r[u]/outdeg(u)
+  * (/root/reference/inc/pagerank.hxx:131-141). The reference's degree-annotated
+  * transpose is never materialized: grouping contributions by `dst` IS the
+  * transpose (one equi-join + partial/final hash aggregation per superstep).
+  *
+  * Deviation (documented, SURVEY.md §7.4 R1): the reference driver runs the
+  * ASYNC (in-place Gauss–Seidel-ish) variants, which are thread-schedule-
+  * dependent; we run the reference's own synchronous (Jacobi) semantics —
+  * both converge to the same fixed point, and acceptance is allclose 1e-6 at
+  * tol 1e-10. Unaffected vertices copy r→a (as the reference's prune kernel
+  * does explicitly, /root/reference/inc/pagerankPrune.hxx:60).
+  *
+  * Scale shape per superstep: the big edge table is cached hash-partitioned
+  * by `src` and never moves; only the O(|V|) rank vector is exchanged (join
+  * on src), and the contribution aggregation map-side-combines before the
+  * final O(|V_active|) exchange by dst. Hub in-degree skew is absorbed by
+  * partial aggregation (each final key receives ≤ #partitions partial rows).
+  * Frontiers are broadcast when small, so the frontier semi-join never
+  * re-shuffles the edge table.
+  *
+  * All graphs passed in must already carry self-loops on every vertex
+  * ([[EdgeOps.withSelfLoops]]) — the reference driver's invariant that
+  * removes dangling mass (/root/reference/main.cxx:127-128).
+  */
+object PageRank {
+  /** Plan-growth diagnostics (env GRAFT_DEBUG_PLANS=1). */
+  val debugPlans: Boolean = sys.env.contains("GRAFT_DEBUG_PLANS")
+}
+
+class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
+  import spark.implicits._
+
+  private val P = opts.damping
+  /** Broadcast the frontier semi-join side below this many vertices. */
+  private val broadcastFrontierMax = 2000000L
+
+  // ---------------------------------------------------------------- variants
+
+  /** V1 — pagerankStatic (/root/reference/inc/pagerank.hxx:441-467):
+    * all vertices affected, cold init 1/N. */
+  def static(yEdges: DataFrame): PagerankRun =
+    run(yEdges, prevRanks = None, frontier0 = FrontierAll, expand = NoExpansion)
+
+  /** V2 — pagerankNaiveDynamic (/root/reference/inc/pagerank.hxx:482-509):
+    * all vertices affected, warm init from previous ranks. New vertices
+    * start at 0.0, NOT 1/N (/root/reference/inc/pagerank.hxx:287-295 copies
+    * q[v], which is 0 for previously-absent ids — SURVEY.md §7.4 R3). */
+  def naiveDynamic(yEdges: DataFrame, prevRanks: DataFrame): PagerankRun =
+    run(yEdges, Some(prevRanks), FrontierAll, NoExpansion)
+
+  /** V3 — pagerankDynamicTraversal (/root/reference/inc/pagerank.hxx:525-615):
+    * affected = BFS closure in y from the DF seed set; frontier fixed across
+    * supersteps. */
+  def dynamicTraversal(xEdges: DataFrame, yEdges: DataFrame,
+      insertions: DataFrame, deletions: DataFrame,
+      prevRanks: DataFrame): PagerankRun = {
+    val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
+    run(yEdges, Some(prevRanks), FrontierFixed(bfsClosure(yEdges, seeds)),
+      NoExpansion)
+  }
+
+  /** V4 — pagerankDynamicFrontier (/root/reference/inc/pagerank.hxx:631-729):
+    * initial marking = out-neighbors (in x) of each deleted edge's source and
+    * out-neighbors (in y) of each inserted edge's source; after each
+    * superstep, any vertex whose relative change exceeds frontierTolerance
+    * marks its out-neighbors in y. Frontier grows monotonically (the driver's
+    * ASYNCF=true semantics, /root/reference/main.cxx:96). */
+  def dynamicFrontier(xEdges: DataFrame, yEdges: DataFrame,
+      insertions: DataFrame, deletions: DataFrame,
+      prevRanks: DataFrame): PagerankRun = {
+    val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
+    run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandMonotone)
+  }
+
+  /** V5 — pagerankPruneDynamicFrontier (/root/reference/inc/pagerankPrune.hxx:301-329):
+    * DF marking + closed-form self-loop removal
+    * a[v] = (C0 + P·(av − rv/d)) / (1 − P/d)  (pagerankPrune.hxx:29-41),
+    * and the frontier can SHRINK: a swept vertex stays marked only while its
+    * relative change exceeds pruneTolerance (pagerankPrune.hxx:62-67).
+    * Note the reference's OMP prune driver divides C0 by span, not order
+    * (pagerankPrune.hxx:261) — with our dense 0-based ids span==order, so
+    * C0=(1−P)/N is exact (SURVEY.md §7.4 R2). */
+  def dynamicFrontierPrune(xEdges: DataFrame, yEdges: DataFrame,
+      insertions: DataFrame, deletions: DataFrame,
+      prevRanks: DataFrame): PagerankRun = {
+    val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
+    run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandPrune,
+      pruneKernel = true)
+  }
+
+  // ------------------------------------------------------------ frontier ops
+
+  private sealed trait Frontier0
+  private case object FrontierAll extends Frontier0
+  private final case class FrontierFixed(ids: DataFrame) extends Frontier0
+
+  private sealed trait Expansion
+  private case object NoExpansion extends Expansion
+  private case object ExpandMonotone extends Expansion
+  private case object ExpandPrune extends Expansion
+
+  /** DF initial marking (/root/reference/inc/pagerank.hxx:631-637): for each
+    * deleted edge (u,·) mark out-neighbors of u in x; for each inserted
+    * (u,·) mark out-neighbors of u in y. The sources themselves are NOT
+    * auto-marked. */
+  def frontierSeeds(xEdges: DataFrame, yEdges: DataFrame,
+      insertions: DataFrame, deletions: DataFrame): DataFrame = {
+    def outNbrs(edges: DataFrame, srcs: DataFrame): DataFrame =
+      edges.join(srcs.select(col("src")).distinct(), Seq("src"), "left_semi")
+        .select(col("dst").as("id"))
+    outNbrs(xEdges, deletions).union(outNbrs(yEdges, insertions)).distinct()
+  }
+
+  /** BFS closure in `edges` from `seeds` (seeds included) — the DT marking
+    * (/root/reference/inc/pagerank.hxx:525-561) as iterative semi-join
+    * frontier expansion. */
+  def bfsClosure(edges0: DataFrame, seeds: DataFrame): DataFrame = {
+    // localCheckpoint every hop: iterative plans reference their
+    // predecessor multiple times, so without eager truncation the logical
+    // plan grows exponentially with depth (SURVEY.md §7.4 R5). The edge
+    // table is materialized once so each hop's plan has shallow RDD leaves.
+    val edges = edges0.select("src", "dst").ckpt()
+    var visited = seeds.select(col("id")).distinct().ckpt()
+    var visitedN = visited.count()
+    var frontier = visited
+    var frontierN = visitedN
+    while (frontierN > 0) {
+      val hop = edges
+        .join(maybeBroadcast(frontier.withColumnRenamed("id", "src"), frontierN),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .ckpt()
+      val nextVisited = visited.union(hop).ckpt()
+      val nextN = nextVisited.count()
+      frontier = hop
+      frontierN = nextN - visitedN
+      visited = nextVisited
+      visitedN = nextN
+    }
+    visited
+  }
+
+  private def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
+    if (n <= broadcastFrontierMax) broadcast(df) else df
+
+  // ------------------------------------------------------------- main driver
+
+  /** The superstep loop — the reference's pagerankInvoke
+    * (/root/reference/inc/pagerank.hxx:335-373) with fi/fm/fa/fu/fc/fs bound
+    * by the variant wrappers above. */
+  private def run(yEdges: DataFrame, prevRanks: Option[DataFrame],
+      frontier0: Frontier0, expand: Expansion,
+      pruneKernel: Boolean = false): PagerankRun = {
+
+    val t0 = System.nanoTime()
+    // Degree-annotated edges: materialized ONCE (localCheckpoint), hash-
+    // partitioned by src; this is the only |E|-sized structure and it never
+    // moves again. Checkpointing (vs plain persist) also cuts the upstream
+    // ingest DAG out of every superstep's plan — Catalyst stats estimation
+    // over a deep join DAG re-runs per superstep otherwise.
+    val parts = spark.sparkContext.defaultParallelism
+    val links = EdgeOps.linksWithDeg(yEdges)
+      .repartition(parts, col("src"))
+      .ckpt()
+    // With self-loops, every vertex is a src: degrees table == vertex set.
+    val degs = links.select(col("src").as("id"), col("outDeg")).distinct()
+      .ckpt()
+    val n = degs.count()
+    val c0 = (1 - P) / n
+
+    // fi — init ranks (1/N cold, or warm copy with 0.0 for new vertices).
+    // Every per-iteration vector is localCheckpoint(eager)-ed: iterative
+    // plans reference their predecessor more than once, so without eager
+    // lineage truncation the logical plan doubles per superstep
+    // (SURVEY.md §7.4 R5). On a multi-executor cluster with opts.checkpointDir
+    // set, the Checkpointer additionally persists ranks durably.
+    var ranks = (prevRanks match {
+      case None => degs.select(col("id"), lit(1.0 / n).as("rank"))
+      case Some(q) =>
+        degs.select("id").join(q.select("id", "rank"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("rank"), lit(0.0)).as("rank"))
+    }).repartition(parts, col("id")).ckpt()
+    val t1 = System.nanoTime()
+
+    // fm — mark affected.
+    var frontier: Option[DataFrame] = frontier0 match {
+      case FrontierAll => None
+      case FrontierFixed(ids) => Some(ids.ckpt())
+    }
+    var frontierN = frontier.map(_.count()).getOrElse(n)
+    val t2 = System.nanoTime()
+
+    var iter = 0
+    var residual = Double.MaxValue
+
+    while (iter < opts.maxIterations && residual >= opts.tolerance &&
+        frontierN > 0) {
+      // Sweep: contributions pulled over in-edges of affected vertices only.
+      val sweptLinks = frontier match {
+        case None => links
+        case Some(f) =>
+          links.join(maybeBroadcast(f.withColumnRenamed("id", "dst"), frontierN),
+            Seq("dst"), "left_semi")
+      }
+      val contribs = sweptLinks
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outDeg")).as("c"))
+
+      val newAffected =
+        if (!pruneKernel)
+          contribs.select(col("id"), (lit(c0) + lit(P) * col("c")).as("rank"))
+        else
+          // closed-form self-loop removal (pagerankPrune.hxx:29-41); needs
+          // the vertex's own previous rank and out-degree — joined below.
+          contribs.join(degs, Seq("id"))
+            .join(ranks.withColumnRenamed("rank", "prev0"), Seq("id"))
+            .select(col("id"),
+              ((lit(c0) + lit(P) * (col("c") - col("prev0") / col("outDeg")))
+                / (lit(1.0) - lit(P) / col("outDeg"))).as("rank"))
+
+      // New rank vector: swept vertices take their new rank, unaffected
+      // vertices copy through (the reference prune kernel's a[u]=r[u],
+      // /root/reference/inc/pagerankPrune.hxx:60). This localCheckpoint is
+      // the ONE expensive materialization job of the superstep; it also
+      // truncates lineage, which would otherwise double per superstep.
+      val newRanks = (frontier match {
+        case None => newAffected
+        case Some(f) =>
+          newAffected.union(
+            ranks.join(maybeBroadcast(f, frontierN), Seq("id"), "left_anti"))
+            .repartition(parts, col("id"))
+      }).ckpt()
+
+      // Residual over the full vectors — two checkpointed RDDs, cheap O(|V|)
+      // job. Copy-through rows contribute Δ=0, exactly like the reference's
+      // liNormDelta over the whole span (L∞ default; L1 behind the flag).
+      val joined = newRanks
+        .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
+      val normCol =
+        if (opts.useL1Residual) sum(abs(col("rank") - col("prev")))
+        else max(abs(col("rank") - col("prev")))
+      val row = joined.agg(normCol.as("res")).collect()(0)
+      residual = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+
+      // fs — frontier transform for the next superstep. relΔ of unswept rows
+      // is exactly 0, so filtering the full join recovers the swept sets.
+      val relDelta = abs(col("rank") - col("prev")) /
+        greatest(col("rank"), col("prev"))
+      val nextFrontier: Option[DataFrame] = expand match {
+        case NoExpansion => frontier
+        case ExpandMonotone =>
+          // fu (/root/reference/inc/pagerank.hxx:688-692): mark out-neighbors
+          // of vertices whose relative change exceeds frontierTolerance.
+          val changed = joined.where(relDelta > opts.frontierTolerance)
+            .select(col("id").as("src"))
+          val grown = links
+            .join(maybeBroadcast(changed, frontierN), Seq("src"), "left_semi")
+            .select(col("dst").as("id"))
+          Some(frontier.get.union(grown).distinct())
+        case ExpandPrune =>
+          // prune rule (/root/reference/inc/pagerankPrune.hxx:62-67): keep a
+          // swept vertex only while relΔ > pruneTolerance; expansion skips
+          // the self edge (v != u).
+          val keep = joined.where(relDelta > opts.pruneTolerance).select("id")
+          val changed = joined.where(relDelta > opts.frontierTolerance)
+            .select(col("id").as("src"))
+          val grown = links.where(col("dst") =!= col("src"))
+            .join(maybeBroadcast(changed, frontierN), Seq("src"), "left_semi")
+            .select(col("dst").as("id"))
+          Some(keep.union(grown).distinct())
+      }
+
+      iter += 1
+      val frontierChanged = expand != NoExpansion
+      val nextFrontierMat = nextFrontier.map { f =>
+        if (!frontierChanged) f // same fixed frontier, already checkpointed
+        else {
+          if (PageRank.debugPlans) {
+            var c = 0
+            f.queryExecution.logical.foreach(_ => c += 1)
+            println(s"[pr-debug] iter=$iter preFrontierNodes=$c")
+          }
+          f.ckpt()
+        }
+      }
+      val nextFrontierN =
+        if (!frontierChanged) frontierN
+        else nextFrontierMat.map(_.count()).getOrElse(n)
+
+      // Durable checkpoint manifest for mid-iteration resume (north rule).
+      opts.checkpointDir.foreach { dir =>
+        Checkpointer.save(dir, iter, newRanks, nextFrontierMat, residual)
+      }
+
+      if (PageRank.debugPlans) {
+        def nodes(df: DataFrame): Int = {
+          var c = 0
+          df.queryExecution.logical.foreach(_ => c += 1)
+          c
+        }
+        println(s"[pr-debug] iter=$iter ranksNodes=${nodes(newRanks)} " +
+          s"frontierNodes=${nextFrontierMat.map(nodes).getOrElse(-1)} " +
+          s"frontierN=$nextFrontierN residual=$residual")
+      }
+
+      // Swap buffers (reference's swap(a, r), pagerank.hxx:366); old
+      // checkpoint RDDs are reclaimed by the ContextCleaner once
+      // unreferenced (spark.cleaner.referenceTracking.cleanCheckpoints).
+      ranks = newRanks
+      frontierN = nextFrontierN
+      frontier = nextFrontierMat
+    }
+
+    val t3 = System.nanoTime()
+    val stats = PagerankStats(iter, (t1 - t0) / 1e6, (t2 - t1) / 1e6,
+      (t3 - t2) / 1e6, residual)
+    PagerankRun(ranks, stats)
+  }
+}

@@ -1,0 +1,37 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Bridge into Spark's `private[sql]` internals. Standard pattern for
+  * libraries that ship native Catalyst expressions against Spark 4's
+  * Column-node API. Nothing else in this package.
+  *
+  * `localCheckpointNoStats` exists because `Dataset.checkpoint` propagates
+  * the ORIGIN plan's estimated `Statistics` into the resulting `LogicalRDD`
+  * (ExistingRDD.scala, `originStats`). In an iterative algorithm the
+  * size-in-bytes estimate then compounds multiplicatively across supersteps
+  * (each superstep joins the rank vector 2-3×, so the BigInt exponent
+  * triples per iteration) until Catalyst's stats visitor spends minutes
+  * multiplying million-bit integers. Dropping the inherited stats resets
+  * the leaf to `defaultSizeInBytes`, which is what a fresh scan would report.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager local checkpoint with origin statistics stripped. */
+  def localCheckpointNoStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true).asInstanceOf[classic.Dataset[Row]]
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val stripped = lr.copy()(
+          session = ck.sparkSession.asInstanceOf[classic.SparkSession],
+          originStats = None,
+          originConstraints = None)
+        classic.Dataset.ofRows(ck.sparkSession.asInstanceOf[classic.SparkSession],
+          stripped)
+      case _ => ck
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.EdgeOps
+import graft.ingest.WebGraphFixture
+import graft.pagerank.PageRank
+import graft.streaming.IncrementalPageRank
+
+/** Streaming replay of the reference's batch loop: after consuming all
+  * batches, the incrementally-maintained ranks must allclose the fresh
+  * static ranks on the final graph (the reference's own acceptance metric,
+  * /root/reference/main.cxx:55,85). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("foreachBatch incremental PageRank converges to the static ranks of the final graph") {
+    val P = 150L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF().cache()
+    val m = staged.count()
+    val cut1 = staged.orderBy("seq").limit((0.9 * m).toInt)
+      .agg(max("seq")).collect()(0).getLong(0)
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    // two files: base (90%) then the insertion batch (10%)
+    staged.where($"seq" <= cut1).coalesce(1).write.parquet(s"$dir/b0")
+    staged.where($"seq" > cut1).coalesce(1).write.parquet(s"$dir/b1")
+    // flatten into one dir (file source lists recursively only with glob)
+    val flat = Files.createTempDirectory("graft-stream-flat").toString
+    def mv(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(s"$flat/$name").toPath)
+    }
+    mv("b0", "part-000.parquet")
+    mv("b1", "part-001.parquet")
+
+    val universe = EdgeOps.vertices(staged.select("src", "dst"))
+    val inc = new IncrementalPageRank(spark, universe)
+    val q = inc.run(flat, ckpt)
+    q.awaitTermination()
+    assert(inc.batches === 2)
+
+    val got = TestSpark.collectRanks(inc.currentRanks)
+    val verts = EdgeOps.vertices(staged.select("src", "dst"))
+    val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged.select("src", "dst")), verts)
+    val want = TestSpark.collectRanks(new PageRank(spark).static(y).ranks)
+    assert(got.keySet === want.keySet)
+    assert(Oracle.allclose(got, want, 2e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+}
