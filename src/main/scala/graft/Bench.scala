@@ -26,11 +26,21 @@ import graft.pagerank.PageRank
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int, forPagerank: Boolean): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = GraftSession.local(cores)
+    val b = GraftSession.builder(s"local[$cores]", cores)
+    if (forPagerank) {
+      // The superstep plan is fixed and both join sides are pre-partitioned:
+      // AQE's per-job re-planning only adds latency here (measured 2.9×
+      // slower at local[8]), and a shuffled hash join beats re-sorting the
+      // big cached edge table every superstep (measured ~15-20%).
+      b.config("spark.sql.adaptive.enabled", "false")
+      b.config("spark.sql.join.preferSortMergeJoin", "false")
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
     s
   }
 
@@ -43,14 +53,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "300000").toLong
-    val throughputSteps = sys.env.getOrElse("GRAFT_BENCH_STEPS", "20").toInt
+    // Sized so per-superstep compute dominates scheduler fixed overhead at
+    // local[8] (≈6.4M edges) — the scaling-efficiency measurement is
+    // meaningless when a superstep is all task-launch latency.
+    val benchPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "12000000").toLong
+    val convergePages = sys.env.getOrElse("GRAFT_BENCH_CONVERGE_PAGES", "4000000").toLong
+    val throughputSteps = sys.env.getOrElse("GRAFT_BENCH_STEPS", "15").toInt
 
     val qTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    val onlyScaling = sys.env.get("GRAFT_BENCH_ONLY_SCALING").contains("1")
+
     // ---- Phase 1: headline relational/text/graph queries on the sf dir ----
-    {
-      val s = session(cpus)
+    if (!onlyScaling) {
+      val s = session(cpus, forPagerank = false)
       val headline = Seq("q_degree_distribution", "q_indegree", "q_triangle_count",
         "q_pagerank_iter3", "q_dedup_exact", "q_token_count", "q_text_quality",
         "q_minhash_lsh", "q_ann_bruteforce", "q_connected_components")
@@ -64,7 +80,7 @@ object Bench {
 
     // ---- Phase 2: PageRank throughput at N (local[8]) and 4N (local[32]) --
     def pagerankThroughput(cores: Int): (Double, Double, Long) = {
-      val s = session(cores)
+      val s = session(cores, forPagerank = true)
       val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF()
       val verts = s.range(benchPages).select(col("id"))
       val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts)
@@ -86,17 +102,29 @@ object Bench {
     qTimes("pagerank_throughput_local32") = sec32
     val efficiency = thr32 / (4.0 * thr8)
 
+    if (onlyScaling) {
+      println(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
+        s""""unit":"edges/sec/superstep","bench_pages":$benchPages,"bench_edges":$nE,""" +
+        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
+        f""""scaling_efficiency_n_to_4n":$efficiency%.3f}""")
+      SparkSession.getActiveSession.foreach(_.stop())
+      return
+    }
+
     // ---- Phase 3: convergence + dynamic-frontier run at 4N --------------
-    val s = session(cpus)
-    val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF().cache()
+    // Batch regime mirrors the reference (insertion batches of 1e-4·|E|,
+    // /root/reference/main.sh:54-56): base = all but the last 1e-4 of the
+    // edge stream, batch = that tail.
+    val s = session(cpus, forPagerank = true)
+    val staged = WebGraphFixture.edgesOnly(s, convergePages).toDF().cache()
     val m = staged.count()
-    val base90 = staged.agg(expr(s"approx_percentile(seq, 0.9, 10000)"))
+    val cut = staged.agg(expr(s"approx_percentile(seq, 0.9999, 100000)"))
       .collect()(0) match { case r => r.getLong(0) }
-    val verts = s.range(benchPages).select(col("id"))
+    val verts = s.range(convergePages).select(col("id"))
     val x = EdgeOps.withSelfLoops(
-      staged.where(col("seq") < base90).select("src", "dst"), verts).cache()
+      staged.where(col("seq") < cut).select("src", "dst"), verts).cache()
     val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts).cache()
-    val ins = staged.where(col("seq") >= base90).select("src", "dst")
+    val ins = staged.where(col("seq") >= cut).select("src", "dst")
     val none = ins.limit(0)
 
     val pr = new PageRank(s)

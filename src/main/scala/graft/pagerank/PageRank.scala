@@ -186,6 +186,12 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     val degs = links.select(col("src").as("id"), col("outDeg")).distinct()
       .ckpt()
     val n = degs.count()
+    // Empty graph → empty result (reference: `if (xt.empty) return {}`,
+    // /root/reference/inc/pagerank.hxx:444).
+    if (n == 0) {
+      return PagerankRun(degs.select(col("id"), lit(0.0).as("rank")),
+        PagerankStats(0, 0, 0, 0, 0.0))
+    }
     val c0 = (1 - P) / n
 
     // fi — init ranks (1/N cold, or warm copy with 0.0 for new vertices).
@@ -255,13 +261,20 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
       // Residual over the full vectors — two checkpointed RDDs, cheap O(|V|)
       // job. Copy-through rows contribute Δ=0, exactly like the reference's
       // liNormDelta over the whole span (L∞ default; L1 behind the flag).
+      // Throughput-measurement mode (tolerance <= 0, full sweep): the stop
+      // rule can never fire, so the residual job is skipped entirely and the
+      // superstep is exactly one materialization job.
       val joined = newRanks
         .join(ranks.withColumnRenamed("rank", "prev"), Seq("id"))
-      val normCol =
-        if (opts.useL1Residual) sum(abs(col("rank") - col("prev")))
-        else max(abs(col("rank") - col("prev")))
-      val row = joined.agg(normCol.as("res")).collect()(0)
-      residual = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      if (opts.tolerance <= 0 && expand == NoExpansion) {
+        residual = Double.MaxValue
+      } else {
+        val normCol =
+          if (opts.useL1Residual) sum(abs(col("rank") - col("prev")))
+          else max(abs(col("rank") - col("prev")))
+        val row = joined.agg(normCol.as("res")).collect()(0)
+        residual = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      }
 
       // fs — frontier transform for the next superstep. relΔ of unswept rows
       // is exactly 0, so filtering the full join recovers the swept sets.

@@ -18,5 +18,9 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
 object Ckpt {
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     def ckpt(): DataFrame = GraftBridge.localCheckpointNoStats(df)
+    /** Serialized storage — for large scan-only state (edge tables): one
+      * byte buffer per block instead of per-row objects, flat GC cost. */
+    def ckptSer(): DataFrame =
+      GraftBridge.localCheckpointNoStats(df, serialized = true)
   }
 }

@@ -20,9 +20,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Eager local checkpoint with origin statistics stripped. */
-  def localCheckpointNoStats(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true).asInstanceOf[classic.Dataset[Row]]
+  /** Eager local checkpoint with origin statistics stripped.
+    * @param serialized store partitions serialized (MEMORY_AND_DISK_SER) —
+    *   one byte array per block instead of one object per row; use for
+    *   large scan-only state (the edge table) to keep GC scan cost flat. */
+  def localCheckpointNoStats(df: DataFrame, serialized: Boolean = false): DataFrame = {
+    val level =
+      if (serialized) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ck = df.localCheckpoint(true, level).asInstanceOf[classic.Dataset[Row]]
     ck.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val stripped = lr.copy()(
