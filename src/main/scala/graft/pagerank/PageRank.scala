@@ -228,10 +228,19 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
           links.join(maybeBroadcast(f.withColumnRenamed("id", "dst"), frontierN),
             Seq("dst"), "left_semi")
       }
+      // Aggregate AFTER an explicit repartition by dst: links are clustered
+      // by src, so dst keys are ~random per map task — a pre-shuffle partial
+      // aggregation would build a near-|V|-sized hash map per task (combine
+      // ratio ≈ 1) and sit at the spill boundary. Shuffling the raw
+      // contributions first costs ~25% more shuffle bytes but the partial+
+      // final aggregation pair then runs post-exchange on clustered keys
+      // (per-task map = |V|/parts entries), flat in memory.
       val contribs = sweptLinks
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("outDeg")).as("c"))
+        .select(col("dst").as("id"), (col("rank") / col("outDeg")).as("rc"))
+        .repartition(parts, col("id"))
+        .groupBy(col("id"))
+        .agg(sum(col("rc")).as("c"))
 
       val newAffected =
         if (!pruneKernel)
