@@ -22,8 +22,8 @@ import graft.util.Ckpt._
   */
 object LabelPropagation {
 
-  def run(spark: SparkSession, symEdges: DataFrame, rounds: Int = 10,
-      checkpointEvery: Int = 5): DataFrame = {
+  def run(spark: SparkSession, symEdges: DataFrame,
+      rounds: Int = 10): DataFrame = {
     val parts = spark.sparkContext.defaultParallelism
     val edges = symEdges.select("src", "dst")
       .repartition(parts, col("src")).ckpt()

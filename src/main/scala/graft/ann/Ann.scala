@@ -43,8 +43,11 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Seeded random hyperplane for bit i of table t: components are
-    * deterministic xxhash64-derived pseudo-gaussians (sum of 4 uniforms). */
+  /** Seeded random hyperplane for bit i of table t: each component is a
+    * single deterministic xxhash64-derived uniform weight in [-1,1) — NOT
+    * gaussian. Uniform-cube hyperplanes bias bucket recall slightly vs true
+    * Gaussian SimHash, which only shifts the recall/cost trade-off; results
+    * stay exact because every candidate is exact-reranked. */
   private def hyperplaneSign(vec: Column, table: Int, bit: Int): Column = {
     // h(v) = Σ_j v[j] * g(table,bit,j)  where g is a seeded pseudo-random
     // weight in [-1,1): xxhash64(table,bit,j) scaled.

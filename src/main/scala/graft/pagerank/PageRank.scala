@@ -331,8 +331,14 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
         else nextFrontierMat.map(_.count()).getOrElse(n)
 
       // Durable checkpoint manifest for mid-iteration resume (north rule).
+      // Written every `checkpointEvery` supersteps plus always on the final
+      // one, so `latest()` resumes from at most checkpointEvery-1 steps back
+      // and the converged state is always durable.
+      val willStop = iter >= opts.maxIterations || residual < opts.tolerance ||
+        nextFrontierN == 0
       opts.checkpointDir.foreach { dir =>
-        Checkpointer.save(dir, iter, newRanks, nextFrontierMat, residual)
+        if (willStop || iter % opts.checkpointEvery == 0)
+          Checkpointer.save(dir, iter, newRanks, nextFrontierMat, residual)
       }
 
       if (PageRank.debugPlans) {

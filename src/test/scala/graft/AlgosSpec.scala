@@ -30,6 +30,19 @@ class AlgosSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CC: 10⁴-long chain converges in O(log d) rounds (pointer doubling)") {
+    // A path graph has diameter 10⁴ — plain hash-min would need 10⁴ rounds;
+    // with shortcutting the round count must stay logarithmic (<20).
+    val n = 10000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val sym = EdgeOps.symmetrize(TestSpark.edgesDf(spark, chain))
+    val (labels, rounds) = ConnectedComponents.runWithRounds(spark, sym)
+    assert(rounds < 20, s"took $rounds rounds")
+    val got = TestSpark.collectLabels(labels)
+    assert(got.size === n)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("LP: deterministic sync mode labels match the oracle") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
       (3L, 10L))

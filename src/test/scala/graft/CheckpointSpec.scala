@@ -42,13 +42,31 @@ class CheckpointSpec extends AnyFunSuite {
     assert(resumed.stats.iterations < direct.stats.iterations)
   }
 
-  test("manifest records one line per superstep with monotone supersteps") {
+  test("manifest records one line per superstep when checkpointEvery=1") {
     val dir = Files.createTempDirectory("graft-ckpt2").toString
-    new PageRank(spark, PagerankOptions(maxIterations = 3,
+    new PageRank(spark, PagerankOptions(maxIterations = 3, checkpointEvery = 1,
       checkpointDir = Some(dir))).static(TestSpark.edgesDf(spark, line4))
     val lines = Files.readAllLines(
       java.nio.file.Paths.get(s"$dir/MANIFEST.jsonl"))
     assert(lines.size === 3)
     assert((1 to 3).forall(i => lines.get(i - 1).contains(s""""superstep":$i""")))
+  }
+
+  test("checkpointEvery=5 with maxIterations=10 writes exactly 2 manifest lines; resume exact") {
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    val edges = TestSpark.edgesDf(spark, line4)
+    val run = new PageRank(spark, PagerankOptions(maxIterations = 10,
+      checkpointEvery = 5, checkpointDir = Some(dir))).static(edges)
+    assert(run.stats.iterations === 10)
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/MANIFEST.jsonl"))
+    assert(lines.size === 2)
+    assert(lines.get(0).contains(""""superstep":5"""))
+    assert(lines.get(1).contains(""""superstep":10"""))
+    // the checkpointed final vector IS the run's final vector (exact)
+    val resume = Checkpointer.latest(spark, dir).get
+    val a = TestSpark.collectRanks(resume.ranks)
+    val b = TestSpark.collectRanks(run.ranks)
+    assert(Oracle.allclose(a, b, 0.0), s"maxDiff=${Oracle.maxDiff(a, b)}")
   }
 }

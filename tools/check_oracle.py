@@ -3,9 +3,10 @@
 
 Runs each oracle SQL from <outDir>/oracle_sql.json against DuckDB views over
 the sf parquet tables, loads the Spark parquet output from <outDir>/<name>/,
-sorts columns by name, and compares values (exact for ints/strings, tiny-eps
-report for floats). Mirrors what the round driver does so mismatches are
-caught before CORRECTNESS_r{N}.json.
+sorts columns by name, and compares values EXACTLY (bit-exact for floats too,
+mirroring the driver's value-hash compare — oracle queries must round floats
+on BOTH sides so last-ulp engine differences can't appear). Mismatches are
+caught here before CORRECTNESS_r{N}.json.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 """
