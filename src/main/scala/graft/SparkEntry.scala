@@ -113,7 +113,7 @@ object SparkEntry {
           countDistinct(col("dst")).as("n_dst"))
     }),
 
-    // -------------------------------------------------- graph (Scala-oracle)
+    // ------------------------------------------ graph (DuckDB-oracled too)
     "q_connected_components" -> ((s, dir) =>
       ConnectedComponents.run(s, EdgeOps.symmetrize(derivedEdges(s, dir)))
         .orderBy("id")),
@@ -121,6 +121,16 @@ object SparkEntry {
     "q_label_propagation" -> ((s, dir) =>
       LabelPropagation.run(s, EdgeOps.symmetrize(derivedEdges(s, dir)), rounds = 4)
         .orderBy("id")),
+
+    // The convergence loop incl. the L∞ 1e-10 stop rule (q_pagerank_iter3
+    // only covers a fixed-iteration run with the stop bypassed); oracle =
+    // 100 unrolled power-iteration rounds in DuckDB, both rounded to 6 dp.
+    "q_pagerank_converged" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val y = EdgeOps.withSelfLoops(e, EdgeOps.vertices(e))
+      new PageRank(s).static(y).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
 
     "q_pagerank_web_static" -> ((s, dir) => {
       val (dict, staged) = webGraph(s, 400L)
@@ -173,6 +183,8 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 6).orderBy("a", "b")),
 
+    // doc_id < 100 caps the quadratic exact verifier for harness cost — the
+    // cap is mirrored verbatim in the DuckDB oracle SQL below.
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir).where(col("doc_id") < 100), n = 5,
         threshold = 0.2).orderBy("a", "b")),
@@ -225,6 +237,27 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** One synchronous LP round as DuckDB CTEs: neighbor-label counts → mode
+    * with (count desc, label asc) tie-break → label update (isolated
+    * vertices keep theirs) — exactly [[LabelPropagation.run]]'s semantics. */
+  private def lpRoundSql(prev: String, i: Int): String =
+    s"""counts$i AS (SELECT e.dst AS id, l.label, count(*) AS n
+       |  FROM sym e JOIN $prev l ON l.id = e.src GROUP BY 1, 2),
+       |mode$i AS (SELECT id, label FROM (
+       |  SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+       |  FROM counts$i) WHERE rn = 1),
+       |r$i AS (SELECT v.id, coalesce(m.label, v.label) AS label
+       |  FROM $prev v LEFT JOIN mode$i m ON m.id = v.id)""".stripMargin
+
+  /** One PageRank power-iteration round as a MATERIALIZED DuckDB CTE (the
+    * plain inlined form makes DuckDB's optimizer super-linear past ~20
+    * rounds). Same kernel as [[PageRank]]: C0 + 0.85·Σ rank/outdeg. */
+  private def prRoundSql(prev: Int, i: Int): String =
+    s"""r$i AS MATERIALIZED (SELECT e.dst AS id,
+       |  (SELECT c0 FROM c) + 0.85 * sum(r.rank / deg.d) AS rank
+       |  FROM edges e JOIN r$prev r ON r.id = e.src JOIN deg ON deg.src = e.src
+       |  GROUP BY e.dst)""".stripMargin
 
   /** DuckDB-equivalent SQL for the exactly-SQL-expressible queries above.
     * Column names/aliases match the Spark side 1:1 (driver hashes values
@@ -291,6 +324,57 @@ object SparkEntry {
          |y AS (SELECT src, dst FROM afterdel UNION SELECT src, dst FROM ins)
          |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_src,
          |       count(DISTINCT dst) AS n_dst FROM y""".stripMargin,
+
+    // min label over the transitive closure of the symmetrized graph —
+    // component = min reachable id (closure is Σ|C|² rows ≈ 20M at sf0.01,
+    // trivial for DuckDB).
+    "q_connected_components" ->
+      s"""WITH RECURSIVE edges AS ($edgesCte),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN sym e ON e.src = w.r
+         |)
+         |SELECT id, min(r) AS component FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    // 4 unrolled synchronous rounds, mode tie-break (count desc, label asc).
+    "q_label_propagation" ->
+      (s"""WITH edges AS ($edgesCte),
+          |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+          |r0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+          |""".stripMargin
+        + (1 to 4).map(i => lpRoundSql(s"r${i - 1}", i)).mkString(",\n")
+        + "\nSELECT id, label FROM r4 ORDER BY id"),
+
+    // 100 unrolled power-iteration rounds ≈ fixpoint to ~1e-10 — matches the
+    // Spark side's L∞<1e-10 converged run at 6 dp rounding.
+    "q_pagerank_converged" ->
+      (s"""WITH edges0 AS ($edgesCte),
+          |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
+          |edges AS MATERIALIZED (SELECT src, dst FROM edges0 UNION SELECT v, v FROM verts),
+          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+          |n AS (SELECT count(*) AS n FROM verts),
+          |c AS MATERIALIZED (SELECT 0.15 / (SELECT n FROM n) AS c0),
+          |r0 AS MATERIALIZED (SELECT v AS id, 1.0 / (SELECT n FROM n) AS rank FROM verts),
+          |""".stripMargin
+        + (1 to 100).map(i => prRoundSql(i - 1, i)).mkString(",\n")
+        + "\nSELECT id, round(rank, 6) AS rank FROM r100 ORDER BY id"),
+
+    // Raw-substring shingles: hashing shingles (Spark side) preserves set
+    // equality, so Jaccard over raw 5-grams is the exact oracle.
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+        |         list_transform(range(0, greatest(length(t)-5, 0)+1),
+        |                        i -> substring(t, CAST(i+1 AS INT), 5)))) AS shingle FROM d),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |           FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS DOUBLE)/(sza.sz + szb.sz - c) AS jaccard
+        |FROM common JOIN sz sza ON sza.doc_id = a JOIN sz szb ON szb.doc_id = b
+        |WHERE CAST(c AS DOUBLE)/(sza.sz + szb.sz - c) >= 0.2 ORDER BY a, b""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dupes
