@@ -79,79 +79,153 @@ object Bench {
     }
 
     // ---- Phase 2: PageRank throughput at N (local[8]) and 4N (local[32]) --
-    def pagerankThroughput(cores: Int): (Double, Double, Long) = {
+    // Both physical strategies are measured: the default DataFrame superstep
+    // (the scaling-efficiency evidence — its per-superstep work parallelizes
+    // cleanly across cores) and the partition-local CSR fast path
+    // (PagerankOptions.useCsr — ~4× the absolute throughput, but at this
+    // single-box scale its sub-second supersteps saturate the shared memory/
+    // shuffle bus before 32 cores, so its local core-scaling is flat; on a
+    // real multi-executor cluster the equivalent axis is nodes, each with
+    // its own bus — see BASELINE.md).
+    def pagerankThroughput(cores: Int, useCsr: Boolean): (Double, Double, Long) = {
       val s = session(cores, forPagerank = true)
       // warm-up on a small fixture (JIT/codegen warm; discarded) — warming
       // on the full fixture would rebuild the 62M-edge cache twice.
       val warmY = EdgeOps.withSelfLoops(
         WebGraphFixture.edgesOnly(s, benchPages / 12).toDF().select("src", "dst"),
         s.range(benchPages / 12).select(col("id")))
-      new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 3)).static(warmY)
+      new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 3,
+        useCsr = useCsr)).static(warmY)
       val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF()
       val verts = s.range(benchPages).select(col("id"))
       val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts)
         .cache()
       val nEdges = y.count()
       // measured: fixed number of full supersteps (compute phase only —
-      // the one-time links materialization is counted as init)
-      val run = new PageRank(s,
-        PagerankOptions(tolerance = 0.0, maxIterations = throughputSteps)).static(y)
+      // the one-time links/CSR materialization is counted as init)
+      val run = new PageRank(s, PagerankOptions(tolerance = 0.0,
+        maxIterations = throughputSteps, useCsr = useCsr)).static(y)
       val sec = run.stats.computeTimeMs / 1e3
       val edgesPerSecPerStep = nEdges.toDouble * run.stats.iterations / sec
       (edgesPerSecPerStep, sec, nEdges)
     }
 
-    val (thr8, sec8, nE) = pagerankThroughput(8)
+    val (thr8, sec8, nE) = pagerankThroughput(8, useCsr = false)
     qTimes("pagerank_throughput_local8") = sec8
-    val (thr32, sec32, _) = pagerankThroughput(32)
+    val (thr32, sec32, _) = pagerankThroughput(32, useCsr = false)
     qTimes("pagerank_throughput_local32") = sec32
     val efficiency = thr32 / (4.0 * thr8)
+    val (csr8, csrSec8, _) = pagerankThroughput(8, useCsr = true)
+    qTimes("pagerank_csr_local8") = csrSec8
+    val (csr32, csrSec32, _) = pagerankThroughput(32, useCsr = true)
+    qTimes("pagerank_csr_local32") = csrSec32
+
+    def scalingJson: String =
+      s""""bench_pages":$benchPages,"bench_edges":$nE,""" +
+        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
+        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
+        s""""csr_throughput_local8":${csr8.round},"csr_throughput_local32":${csr32.round},""" +
+        f""""csr_speedup_vs_dataframe":${csr32 / thr32}%.2f"""
 
     if (onlyScaling) {
-      println(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
-        s""""unit":"edges/sec/superstep","bench_pages":$benchPages,"bench_edges":$nE,""" +
-        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
-        f""""scaling_efficiency_n_to_4n":$efficiency%.3f}""")
+      emit(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
+        s""""unit":"edges/sec/superstep",$scalingJson}""")
       SparkSession.getActiveSession.foreach(_.stop())
       return
     }
 
-    // ---- Phase 3: convergence + dynamic-frontier run at 4N --------------
-    // Batch regime mirrors the reference (insertion batches of 1e-4·|E|,
-    // /root/reference/main.sh:54-56): base = all but the last 1e-4 of the
-    // edge stream, batch = that tail.
+    // ---- Phase 3: multi-batch dynamic loop at 4N -------------------------
+    // The reference's experiment loop (/root/reference/main.cxx:47-107,
+    // main.sh:21: BATCH_LENGTH=100 insertion batches of batchFraction·|E|,
+    // ranks carried forward per technique): base graph = the edge stream
+    // minus nBatches tail slices of 1e-4·|E| each; per batch, DF and DF-P
+    // re-rank from their carried ranks over an INCREMENTALLY updated link
+    // state (PageRank.updateLinks — no O(|E|) rebuild per batch), and the
+    // static baseline is the converged run on the base graph.
+    val nBatches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "10").toInt
     val s = session(cpus, forPagerank = true)
     val staged = WebGraphFixture.edgesOnly(s, convergePages).toDF().cache()
     val m = staged.count()
-    val cut = staged.agg(expr(s"approx_percentile(seq, 0.9999, 100000)"))
-      .collect()(0) match { case r => r.getLong(0) }
+    val batchLen = math.max(1L, (m * 1e-4).toLong)
+    val cut0 = m - nBatches * batchLen
+    // seq is sparse (k*64+pos): translate row-count cuts into seq cuts with
+    // per-cut quantiles over the ordered stream (exact, one pass).
+    val cuts: IndexedSeq[Long] = {
+      val fracs = (0 to nBatches).map(i =>
+        (cut0 + i.toLong * batchLen).toDouble / m)
+      val row = staged.agg(expr(
+        s"approx_percentile(seq, array(${fracs.mkString(",")}), 1000000)"))
+        .collect()(0).getSeq[Long](0)
+      row.toIndexedSeq.init :+ Long.MaxValue
+    }
     val verts = s.range(convergePages).select(col("id"))
-    val x = EdgeOps.withSelfLoops(
-      staged.where(col("seq") < cut).select("src", "dst"), verts).cache()
-    val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts).cache()
-    val ins = staged.where(col("seq") >= cut).select("src", "dst")
-    val none = ins.limit(0)
+    val x0 = EdgeOps.withSelfLoops(
+      staged.where(col("seq") < cuts(0)).select("src", "dst"), verts).cache()
 
     val pr = new PageRank(s)
-    val (prevRun, tStaticX) = time { pr.static(x) }
+    var ls = pr.buildLinks(x0)
+    val (staticRun, tStaticX) = time { pr.static(x0, Some(ls)) }
     qTimes("pagerank_static_converge_1e10") = tStaticX
-    val prev = prevRun.ranks
-    val (dfRun, tDf) = time { pr.dynamicFrontier(x, y, ins, none, prev) }
-    qTimes("pagerank_dynamic_frontier_converge") = tDf
-    val speedupDfVsStatic = tStaticX / tDf
 
+    // Per-technique rank registers (reference main.cxx:69-72,100-103).
+    var prevDf = staticRun.ranks
+    var prevDfp = staticRun.ranks
+    val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val dfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    var dfIters, dfpIters = 0
+    var xLinks = ls.links.select("src", "dst")
+    for (b <- 0 until nBatches) {
+      val ins = staged
+        .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
+        .select("src", "dst").dropDuplicates("src", "dst")
+        .join(xLinks, Seq("src", "dst"), "left_anti")
+        .cache()
+      val none = ins.limit(0)
+      val lsY = pr.updateLinks(ls, ins, none)
+      val yLinks = lsY.links.select("src", "dst")
+      val (dfRun, tDf) = time {
+        pr.dynamicFrontier(xLinks, yLinks, ins, none, prevDf, Some(lsY))
+      }
+      val (dfpRun, tDfp) = time {
+        pr.dynamicFrontierPrune(xLinks, yLinks, ins, none, prevDfp, Some(lsY))
+      }
+      dfSecs += tDf; dfpSecs += tDfp
+      dfIters += dfRun.stats.iterations; dfpIters += dfpRun.stats.iterations
+      prevDf = dfRun.ranks; prevDfp = dfpRun.ranks
+      ls = lsY; xLinks = yLinks
+      ins.unpersist()
+    }
+    val avgDf = dfSecs.sum / math.max(1, dfSecs.size)
+    val avgDfp = dfpSecs.sum / math.max(1, dfpSecs.size)
+    qTimes("pagerank_dynamic_frontier_converge") = avgDf
+    qTimes("pagerank_dfp_converge") = avgDfp
+
+    def arr(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
     val qs = qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
         s""""unit":"edges/sec/superstep","queries":$qs,"sf":"$sfDir",""" +
-        s""""bench_pages":$benchPages,"bench_edges":$nE,""" +
-        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
-        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
-        s""""static_converge_iters":${prevRun.stats.iterations},""" +
-        s""""df_converge_iters":${dfRun.stats.iterations},""" +
-        f""""df_speedup_vs_static":$speedupDfVsStatic%.2f}"""
-    println(json)
+        scalingJson + "," +
+        s""""static_converge_iters":${staticRun.stats.iterations},""" +
+        s""""n_batches":$nBatches,"batch_edges":$batchLen,""" +
+        f""""df_avg_iters":${dfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        s""""df_batch_secs":${arr(dfSecs.toSeq)},""" +
+        s""""dfp_batch_secs":${arr(dfpSecs.toSeq)},""" +
+        f""""df_speedup_vs_static":${tStaticX / avgDf}%.2f,""" +
+        f""""dfp_speedup_vs_static":${tStaticX / avgDfp}%.2f}"""
+    emit(json)
     s.stop()
+  }
+
+  /** The driver contract: ONE bare JSON line on stdout; also mirrored to
+    * BENCH_LAST.json for post-hoc inspection. */
+  private def emit(json: String): Unit = {
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
   }
 }

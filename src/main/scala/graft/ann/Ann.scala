@@ -95,11 +95,14 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
-    * (exact within-bucket verify): the embedding analog of MinHash dedup. */
+    * (exact within-bucket verify): the embedding analog of MinHash dedup.
+    * Buckets over `maxBucket` rows are dropped+logged (whole-bucket,
+    * deterministic) — see [[graft.dedup.Dedup.capBuckets]]. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      nBits: Int = 8, nTables: Int = 4): DataFrame = {
-    val idx = index(corpus, nBits, nTables)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      nBits: Int = 8, nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val idx = graft.dedup.Dedup.capBuckets(
+      index(corpus, nBits, nTables).persist(StorageLevel.MEMORY_AND_DISK),
+      Seq("table", "bucket"), maxBucket, "nearDupPairs")
     val l = idx.select(col("table"), col("bucket"),
       col("vec_id").as("a"), col("embedding").as("va"))
     val r = idx.select(col("table"), col("bucket"),

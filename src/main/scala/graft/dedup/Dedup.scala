@@ -15,6 +15,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
+  /** Cap LSH candidate generation: buckets with more than `maxBucket` rows
+    * are dropped (whole-bucket, deterministic) and LOGGED, never silently
+    * exploded — a single degenerate bucket (empty/boilerplate docs sharing a
+    * band signature) would otherwise self-join quadratically and stall one
+    * task at corpus scale. Near-dup pairs inside a dropped bucket usually
+    * still surface via their other bands; exact duplicates belong to
+    * [[exact]] anyway. Returns the rows of `banded` in surviving buckets. */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int, what: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val over = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn")).where(col("bn") > maxBucket)
+      .cache()
+    val stats = over.agg(count(lit(1)).as("buckets"),
+      coalesce(sum(col("bn")), lit(0L)).as("rows")).collect()(0)
+    if (stats.getLong(0) > 0)
+      log.warn(s"$what: dropped ${stats.getLong(0)} LSH bucket(s) over " +
+        s"$maxBucket rows (${stats.getLong(1)} rows total) from candidate " +
+        "generation")
+    banded.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+  }
+
   /** Exact dedup: keep the smallest doc_id per identical text. Grouping by
     * xxhash64(text) keeps shuffle keys fixed-width; hash collisions are
     * resolved by grouping on (hash, text) — same plan shape, exact result. */
@@ -71,14 +95,17 @@ object Dedup {
     * bucket-join on banded hash, verify candidates by signature similarity.
     * (a<b, simEstimate = fraction of matching minhashes). */
   def minhashLsh(documents: DataFrame, n: Int = 5, k: Int = 32,
-      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.7,
+      maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0)
     val rows = k / bands
     val sig = minhash(documents, n, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded0 = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(bnd, slice(col("sig"), bnd * rows + 1, lit(rows))
             .cast("string")))).as(Seq("band", "bucket")))
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket,
+      "minhashLsh")
     val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"),
       col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"),
@@ -111,13 +138,16 @@ object Dedup {
   /** SimHash near-dup pairs: bucket on 4 × 16-bit sub-bands (any exact
     * sub-band match is a candidate — standard Hamming-LSH), then verify
     * Hamming distance ≤ maxHamming. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val withSig = documents.select(col("doc_id"), simhashCol(col("text")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(col("doc_id"), col("sig"),
+    val banded0 = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("band", "bucket")))
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket,
+      "simhashPairs")
     val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"),
       col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"),

@@ -92,6 +92,18 @@ object EdgeOps {
     simple(afterDel.select("src", "dst").union(insertions.select("src", "dst")))
   }
 
+  /** Remove vertices and all edges touching them — the reference's
+    * removeVertex (/root/reference/inc/Graph.hxx:364-369) generalized to a
+    * bulk set (the set side is small → broadcast anti-joins, two scans, no
+    * shuffle of the edge table). */
+  def removeVertices(edges: DataFrame, vertexIds: DataFrame): DataFrame = {
+    val ids = vertexIds.select(col(vertexIds.columns.head).as("v")).distinct()
+    edges
+      .join(broadcast(ids.withColumnRenamed("v", "src")), Seq("src"), "left_anti")
+      .join(broadcast(ids.withColumnRenamed("v", "dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+  }
+
   /** Batch tidying B4∘B5∘B6 (/root/reference/inc/batch.hxx:153-208): keep
     * deletions that exist / insertions that don't, dedupe, sort. */
   def tidyInsertions(batch: DataFrame, base: DataFrame): DataFrame =

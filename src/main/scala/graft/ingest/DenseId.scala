@@ -22,25 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object DenseId {
 
+  /** Target rows per bucket in auto mode: each bucket is one window-sort
+    * task, so this bounds per-task sort size regardless of input scale. */
+  private val TargetRowsPerBucket = 4L * 1000 * 1000
+  private val MinBuckets = 1024
+  /** Driver holds one cumulative offset per bucket (8 B each) — 2²⁰ buckets
+    * = 8 MB driver state, covering 4·10¹² rows at the target bucket size. */
+  private val MaxBuckets = 1 << 20
+
+  /** buckets <= 0 → scale bucket count with the input so a window task
+    * never sorts more than ~[[TargetRowsPerBucket]] rows (a FIXED bucket
+    * count would mean 10⁹-row single-task sorts at 10¹² urls). Count is a
+    * one-time ingest job; the result is row-count-deterministic —
+    * independent of cluster size or partition layout. */
+  private def autoBuckets(n: Long): Int =
+    math.min(MaxBuckets.toLong,
+      math.max(MinBuckets.toLong, n / TargetRowsPerBucket + 1)).toInt
+
   /** url dictionary: distinct urls → dense ids [0, n). Ids are a
     * deterministic bijection (hash-bucketed, url-sorted within bucket). */
-  def urlDictionary(urls: DataFrame, buckets: Int = 1024): DataFrame = {
-    val withB = urls.select(col(urls.columns.head).as("url")).distinct()
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
-    withOffsets(withB, buckets, col("url")).select(col("url"), col("id"))
+  def urlDictionary(urls: DataFrame, buckets: Int = 0): DataFrame = {
+    val distinctUrls = urls.select(col(urls.columns.head).as("url")).distinct()
+    val b = if (buckets > 0) buckets else autoBuckets(distinctUrls.count())
+    val withB = distinctUrls
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(b)).cast("int"))
+    withOffsets(withB, b, col("url")).select(col("url"), col("id"))
   }
 
   /** Dense rank of a unique numeric key, preserving key order — used to
     * assign the global edge `seq`. Buckets are key ranges, so
     * rank order == key order. */
-  def rankByKey(df: DataFrame, keyCol: String, buckets: Int = 1024): DataFrame = {
-    val Array(mn, mx) = df.agg(min(keyCol), max(keyCol)).collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1))
+  def rankByKey(df: DataFrame, keyCol: String, buckets: Int = 0): DataFrame = {
+    val Array(mn, mx, cnt) = df.agg(min(keyCol), max(keyCol), count(lit(1)))
+      .collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val step = math.max(1L, (mx - mn) / buckets + 1L)
+    val b = if (buckets > 0) buckets else autoBuckets(cnt)
+    val step = math.max(1L, (mx - mn) / b + 1L)
     val withB = df.withColumn("bucket",
       ((col(keyCol) - lit(mn)) / lit(step)).cast("int"))
-    withOffsets(withB, buckets, col(keyCol))
+    withOffsets(withB, b, col(keyCol))
       .withColumnRenamed("id", "seq").drop("bucket")
   }
 

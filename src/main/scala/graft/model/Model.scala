@@ -50,7 +50,15 @@ final case class PagerankOptions(
     maxIterations: Int = 500,
     useL1Residual: Boolean = false,
     checkpointEvery: Int = 10,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    /** In-degree above which a dst is treated as a hub and its contribution
+      * aggregation is salted two-phase (None = auto: max(1M, |E|/parts/4)).
+      * Set low only in tests to force the salted plan at toy scale. */
+    hubThreshold: Option[Long] = None,
+    /** Static PageRank via the partition-local CSR fast path
+      * ([[graft.pagerank.CsrPageRank]]) instead of the DataFrame superstep —
+      * identical results, one packed-primitive shuffle per superstep. */
+    useCsr: Boolean = false)
 
 /** Result of one PageRank run — mirrors the reference's PagerankResult
   * (/root/reference/inc/pagerank.hxx:64-113): converged ranks, iteration

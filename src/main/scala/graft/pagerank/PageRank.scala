@@ -12,6 +12,23 @@ import graft.model.{PagerankOptions, PagerankStats}
   * mirrors the reference's PagerankResult (/root/reference/inc/pagerank.hxx:64-113). */
 final case class PagerankRun(ranks: DataFrame, stats: PagerankStats)
 
+/** Prebuilt degree-annotated link state — the engine's analog of the
+  * reference's cached degree-annotated transpose xt/yt that the batch loop
+  * carries across snapshots (/root/reference/main.cxx:83,104-105). Built once
+  * with [[PageRank.buildLinks]], advanced per batch with
+  * [[PageRank.updateLinks]] (O(|batch|·outDeg) new rows + one O(|E|)
+  * broadcast anti-join scan — no full links/degree/hub rebuild), and passed
+  * into the dynamic variants so a 1e-4·|E| batch never pays an O(|E|)
+  * shuffle+aggregate rebuild.
+  *
+  * `links` columns: src, dst, outDeg (+ salt when `hubs` present); cached
+  * src-hash-partitioned. `hubs` is the broadcastable (dst, saltMod) skew map
+  * — kept as built (hub membership drifts only O(batch) per batch; it is a
+  * performance hint, never a correctness input).
+  */
+final case class LinkState(links: DataFrame, degs: DataFrame, n: Long,
+    nEdges: Long, hubs: Option[DataFrame])
+
 /** The five PageRank variants of the reference, as BSP Dataset supersteps.
   *
   * Numeric contract (SURVEY.md §2.5): damping P=0.85, teleport C0=(1−P)/N,
@@ -56,26 +73,31 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
   // ---------------------------------------------------------------- variants
 
   /** V1 — pagerankStatic (/root/reference/inc/pagerank.hxx:441-467):
-    * all vertices affected, cold init 1/N. */
-  def static(yEdges: DataFrame): PagerankRun =
-    run(yEdges, prevRanks = None, frontier0 = FrontierAll, expand = NoExpansion)
+    * all vertices affected, cold init 1/N. With opts.useCsr the run goes
+    * through the partition-local CSR fast path (SURVEY.md §7.1 step 6) —
+    * same results, one packed-primitive shuffle per superstep. */
+  def static(yEdges: DataFrame, state: Option[LinkState] = None): PagerankRun =
+    if (opts.useCsr) new CsrPageRank(spark, opts).static(yEdges)
+    else run(yEdges, prevRanks = None, frontier0 = FrontierAll,
+      expand = NoExpansion, state = state)
 
   /** V2 — pagerankNaiveDynamic (/root/reference/inc/pagerank.hxx:482-509):
     * all vertices affected, warm init from previous ranks. New vertices
     * start at 0.0, NOT 1/N (/root/reference/inc/pagerank.hxx:287-295 copies
     * q[v], which is 0 for previously-absent ids — SURVEY.md §7.4 R3). */
-  def naiveDynamic(yEdges: DataFrame, prevRanks: DataFrame): PagerankRun =
-    run(yEdges, Some(prevRanks), FrontierAll, NoExpansion)
+  def naiveDynamic(yEdges: DataFrame, prevRanks: DataFrame,
+      state: Option[LinkState] = None): PagerankRun =
+    run(yEdges, Some(prevRanks), FrontierAll, NoExpansion, state = state)
 
   /** V3 — pagerankDynamicTraversal (/root/reference/inc/pagerank.hxx:525-615):
     * affected = BFS closure in y from the DF seed set; frontier fixed across
     * supersteps. */
   def dynamicTraversal(xEdges: DataFrame, yEdges: DataFrame,
-      insertions: DataFrame, deletions: DataFrame,
-      prevRanks: DataFrame): PagerankRun = {
+      insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
+      state: Option[LinkState] = None): PagerankRun = {
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
     run(yEdges, Some(prevRanks), FrontierFixed(bfsClosure(yEdges, seeds)),
-      NoExpansion)
+      NoExpansion, state = state)
   }
 
   /** V4 — pagerankDynamicFrontier (/root/reference/inc/pagerank.hxx:631-729):
@@ -85,10 +107,11 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     * marks its out-neighbors in y. Frontier grows monotonically (the driver's
     * ASYNCF=true semantics, /root/reference/main.cxx:96). */
   def dynamicFrontier(xEdges: DataFrame, yEdges: DataFrame,
-      insertions: DataFrame, deletions: DataFrame,
-      prevRanks: DataFrame): PagerankRun = {
+      insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
+      state: Option[LinkState] = None): PagerankRun = {
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
-    run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandMonotone)
+    run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandMonotone,
+      state = state)
   }
 
   /** V5 — pagerankPruneDynamicFrontier (/root/reference/inc/pagerankPrune.hxx:301-329):
@@ -100,11 +123,113 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     * (pagerankPrune.hxx:261) — with our dense 0-based ids span==order, so
     * C0=(1−P)/N is exact (SURVEY.md §7.4 R2). */
   def dynamicFrontierPrune(xEdges: DataFrame, yEdges: DataFrame,
-      insertions: DataFrame, deletions: DataFrame,
-      prevRanks: DataFrame): PagerankRun = {
+      insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
+      state: Option[LinkState] = None): PagerankRun = {
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
     run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandPrune,
-      pruneKernel = true)
+      pruneKernel = true, state = state)
+  }
+
+  // ------------------------------------------------------------- link state
+
+  /** Build the degree-annotated link state: materialized ONCE
+    * (localCheckpoint), hash-partitioned by src; this is the only |E|-sized
+    * structure and it never moves again. Checkpointing (vs plain persist)
+    * also cuts the upstream ingest DAG out of every superstep's plan.
+    *
+    * Hub in-degree skew (SURVEY.md §4, §7.4 R4): a web-scale dst can have
+    * 10⁸-10⁹ in-edges; aggregating contributions by dst alone would funnel
+    * all of them through one reduce key → one straggler task per superstep
+    * (the reference absorbs this with schedule(dynamic,2048),
+    * /root/reference/inc/pagerank.hxx:202). Hub dsts are detected ONCE here,
+    * their rows annotated with salt = pmod(xxhash64(src), saltMod), and the
+    * superstep aggregates two-phase: (dst, salt) partial → dst final. A dst
+    * is a hub when its in-degree exceeds ~¼ of a partition's edge share (so
+    * the hub set is ≤ 4·parts keys — always broadcastable); saltMod spreads
+    * its rows over up to `parts` reduce keys. Graphs with no hubs keep the
+    * one-phase plan — zero overhead.
+    */
+  def buildLinks(yEdges: DataFrame): LinkState = {
+    val parts = spark.sparkContext.defaultParallelism
+    var links = EdgeOps.linksWithDeg(yEdges)
+      .repartition(parts, col("src"))
+      .ckpt()
+    val nEdges = links.count()
+    val hubThreshold = opts.hubThreshold.getOrElse(
+      math.max(1000000L, nEdges / parts / 4))
+    val hubs = links.groupBy(col("dst"))
+      .agg(count(lit(1)).as("inDeg"))
+      .where(col("inDeg") > hubThreshold)
+      .select(col("dst"),
+        least(lit(parts.toLong), ceil(col("inDeg") / hubThreshold).cast("long"))
+          .as("saltMod"))
+      .ckpt()
+    val hubsOpt = if (hubs.count() > 0) Some(hubs) else None
+    hubsOpt.foreach { h =>
+      links = links.join(broadcast(h), Seq("dst"), "left")
+        .select(col("src"), col("dst"), col("outDeg"),
+          pmod(xxhash64(col("src")), coalesce(col("saltMod"), lit(1L)))
+            .as("salt"))
+        .repartition(parts, col("src"))
+        .ckpt()
+    }
+    // With self-loops, every vertex is a src: degrees table == vertex set.
+    val degs = links.select(col("src").as("id"), col("outDeg")).distinct()
+      .ckpt()
+    LinkState(links, degs, degs.count(), nEdges, hubsOpt)
+  }
+
+  /** Advance the link state by one batch WITHOUT an O(|E|) rebuild — the
+    * Spark analog of the reference's lazy amortized adjacency merge
+    * (/root/reference/inc/_bitset.hxx:227-262): only vertices whose out-list
+    * the batch touches are re-derived.
+    *
+    *  - touched = distinct srcs of insertions ∪ deletions (O(|batch|), broadcast)
+    *  - untouched links rows pass through (one broadcast anti-join SCAN of
+    *    the cached links — no shuffle, no re-aggregation)
+    *  - touched rows are rebuilt from prev links ∪ ins − del and re-counted
+    *    (O(|batch|·outDeg) rows)
+    *
+    * Contract (same as the engine-wide invariant): insertions must carry a
+    * self-loop for any vertex not previously in the graph, so every vertex
+    * keeps outDeg ≥ 1. The hub/salt map is carried over unchanged (skew
+    * drifts only O(|batch|) per batch; it is a performance hint — refreshed
+    * on the next full [[buildLinks]]).
+    */
+  def updateLinks(prev: LinkState, insertions: DataFrame,
+      deletions: DataFrame): LinkState = {
+    val parts = spark.sparkContext.defaultParallelism
+    val ins = insertions.select(col("src"), col("dst"))
+    val del = deletions.select(col("src"), col("dst"))
+    val touched = ins.select("src").union(del.select("src")).distinct().ckpt()
+    val untouched = prev.links.join(broadcast(touched), Seq("src"), "left_anti")
+    val prevTouched = prev.links
+      .join(broadcast(touched), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    val newEdges = prevTouched
+      .join(del, Seq("src", "dst"), "left_anti")
+      .union(ins.join(broadcast(touched), Seq("src"), "left_semi"))
+      .dropDuplicates("src", "dst")
+    val newDeg = newEdges.groupBy("src").agg(count(lit(1)).as("outDeg"))
+    var touchedLinks = newEdges.join(newDeg, "src")
+      .select(col("src"), col("dst"), col("outDeg"))
+    prev.hubs.foreach { h =>
+      touchedLinks = touchedLinks.join(broadcast(h), Seq("dst"), "left")
+        .select(col("src"), col("dst"), col("outDeg"),
+          pmod(xxhash64(col("src")), coalesce(col("saltMod"), lit(1L)))
+            .as("salt"))
+    }
+    // One |E|-row repartition restores the src partitioning for the
+    // superstep joins (the union would otherwise leave it unknown and every
+    // superstep would re-shuffle); no |E|-scale aggregation happens anywhere.
+    val links = untouched.union(touchedLinks)
+      .repartition(parts, col("src")).ckpt()
+    // Degrees advance incrementally as well: untouched ids keep theirs.
+    val degs = prev.degs
+      .join(broadcast(touched.withColumnRenamed("src", "id")), Seq("id"), "left_anti")
+      .union(newDeg.select(col("src").as("id"), col("outDeg")))
+      .ckpt()
+    LinkState(links, degs, degs.count(), links.count(), prev.hubs)
   }
 
   // ------------------------------------------------------------ frontier ops
@@ -124,9 +249,14 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     * auto-marked. */
   def frontierSeeds(xEdges: DataFrame, yEdges: DataFrame,
       insertions: DataFrame, deletions: DataFrame): DataFrame = {
-    def outNbrs(edges: DataFrame, srcs: DataFrame): DataFrame =
-      edges.join(srcs.select(col("src")).distinct(), Seq("src"), "left_semi")
+    // The batch-src side is O(|batch|) — broadcast it explicitly (the PR
+    // session runs AQE-off, so Catalyst would otherwise shuffle the |E|-row
+    // edge table for this semi-join on unknown stats).
+    def outNbrs(edges: DataFrame, srcs: DataFrame): DataFrame = {
+      val s = srcs.select(col("src")).distinct()
+      edges.join(maybeBroadcast(s, s.count()), Seq("src"), "left_semi")
         .select(col("dst").as("id"))
+    }
     outNbrs(xEdges, deletions).union(outNbrs(yEdges, insertions)).distinct()
   }
 
@@ -170,22 +300,16 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     * by the variant wrappers above. */
   private def run(yEdges: DataFrame, prevRanks: Option[DataFrame],
       frontier0: Frontier0, expand: Expansion,
-      pruneKernel: Boolean = false): PagerankRun = {
+      pruneKernel: Boolean = false,
+      state: Option[LinkState] = None): PagerankRun = {
 
     val t0 = System.nanoTime()
-    // Degree-annotated edges: materialized ONCE (localCheckpoint), hash-
-    // partitioned by src; this is the only |E|-sized structure and it never
-    // moves again. Checkpointing (vs plain persist) also cuts the upstream
-    // ingest DAG out of every superstep's plan — Catalyst stats estimation
-    // over a deep join DAG re-runs per superstep otherwise.
     val parts = spark.sparkContext.defaultParallelism
-    val links = EdgeOps.linksWithDeg(yEdges)
-      .repartition(parts, col("src"))
-      .ckpt()
-    // With self-loops, every vertex is a src: degrees table == vertex set.
-    val degs = links.select(col("src").as("id"), col("outDeg")).distinct()
-      .ckpt()
-    val n = degs.count()
+    val st = state.getOrElse(buildLinks(yEdges))
+    val links = st.links
+    val degs = st.degs
+    val n = st.n
+    val salted = st.hubs.isDefined
     // Empty graph → empty result (reference: `if (xt.empty) return {}`,
     // /root/reference/inc/pagerank.hxx:444).
     if (n == 0) {
@@ -235,12 +359,27 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
       // contributions first costs ~25% more shuffle bytes but the partial+
       // final aggregation pair then runs post-exchange on clustered keys
       // (per-task map = |V|/parts entries), flat in memory.
-      val contribs = sweptLinks
+      // With hub dsts present, the exchange key is (dst, salt) and a second
+      // O(|V| + hubs·saltMod)-row aggregation folds the salted partials —
+      // no reduce key ever receives more than ~hubThreshold rows.
+      val rawContribs = sweptLinks
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("outDeg")).as("rc"))
-        .repartition(parts, col("id"))
-        .groupBy(col("id"))
-        .agg(sum(col("rc")).as("c"))
+      val contribs =
+        if (!salted)
+          rawContribs
+            .select(col("dst").as("id"), (col("rank") / col("outDeg")).as("rc"))
+            .repartition(parts, col("id"))
+            .groupBy(col("id"))
+            .agg(sum(col("rc")).as("c"))
+        else
+          rawContribs
+            .select(col("dst").as("id"), col("salt"),
+              (col("rank") / col("outDeg")).as("rc"))
+            .repartition(parts, col("id"), col("salt"))
+            .groupBy(col("id"), col("salt"))
+            .agg(sum(col("rc")).as("rc"))
+            .groupBy(col("id"))
+            .agg(sum(col("rc")).as("c"))
 
       val newAffected =
         if (!pruneKernel)

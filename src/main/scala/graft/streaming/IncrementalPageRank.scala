@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -12,18 +14,26 @@ import graft.pagerank.PageRank
 /** Structured-Streaming front end for dynamic PageRank.
   *
   * The reference consumes a temporal edge file in prefix order and applies
-  * insertion-only batches (/root/reference/main.cxx:74-106). The streaming
-  * analog: `readStream` over a staged-edge directory (one file ≈ one batch),
-  * `foreachBatch` applying each micro-batch as an edge insertion batch and
-  * re-ranking with the Dynamic Frontier variant against the previous ranks —
+  * batches (/root/reference/main.cxx:74-106). The streaming analog:
+  * `readStream` over a staged-edge directory (one file ≈ one batch),
+  * `foreachBatch` applying each micro-batch as an edge batch — insertions,
+  * plus DELETIONS when the rows carry `op = 'del'` (the DF marking rule
+  * consumes deletions, /root/reference/inc/pagerank.hxx:631-637) — and
+  * re-ranking with the Dynamic Frontier variant against the previous ranks:
   * exactly the reference's per-batch loop (§3.2), driven by Spark's source
-  * sequencing, checkpointing and exactly-once batch replay instead of a
-  * hand-written file cursor.
+  * sequencing, checkpointing and exactly-once batch replay.
   *
-  * State across batches (current edge set + rank vector) is held as
-  * checkpointed DataFrames; with `PagerankOptions.checkpointDir` set, ranks
-  * are additionally durable per superstep, so a killed stream resumes from
-  * (streaming offset log, rank manifest).
+  * Durability & resume (north rule): with `opts.checkpointDir` set, every
+  * COMPLETED batch appends its normalized batch rows and its converged rank
+  * vector under `<dir>/stream/` plus a STREAM_MANIFEST.jsonl line. After a
+  * kill, [[IncrementalPageRank.resume]] rebuilds the edge set by folding the
+  * logged batches and warm-starts from the last completed batch's ranks;
+  * Spark's own offset log then replays only the uncommitted micro-batch
+  * (foreachBatch commits AFTER applyBatch returns, so our log and the offset
+  * log always agree on the last completed batch). Without a checkpointDir,
+  * [[run]] fails fast when the stream checkpoint already exists but the
+  * in-memory state is empty — silently bootstrapping static PageRank from
+  * one mid-stream micro-batch would produce wrong ranks with no error.
   */
 /** @param vertexUniverse all vertex ids known upfront (the url dictionary).
   *   Mirrors the reference's eager vertex range — the temporal loader adds
@@ -44,30 +54,100 @@ class IncrementalPageRank(spark: SparkSession,
   def currentEdges: DataFrame = edges
   def batches: Int = batchesApplied
 
-  /** Apply one insertion batch (u,v rows) to the running state. */
+  private def streamDir: Option[String] = opts.checkpointDir.map(_ + "/stream")
+
+  /** Split a micro-batch into (insertions, deletions): rows with an
+    * `op = 'del'` column are deletions; everything else inserts. */
+  private def split(batch: DataFrame): (DataFrame, DataFrame) = {
+    val b = batch
+    if (b.columns.contains("op"))
+      (b.where(col("op") =!= "del").select("src", "dst"),
+        b.where(col("op") === "del").select("src", "dst"))
+    else (b.select("src", "dst"), b.limit(0).select("src", "dst"))
+  }
+
+  /** Apply one batch (insertions + optional deletions) to the running state. */
   def applyBatch(batch: DataFrame): Unit = synchronized {
     val pr = new PageRank(spark, opts)
-    val ins = batch.select("src", "dst")
+    val (ins, del) = split(batch)
     if (edges == null) {
       // first batch bootstraps the base graph — static rank over the full
       // vertex universe (self-loops for every known vertex, like the
       // reference driver's pre-step)
-      edges = EdgeOps.withSelfLoops(EdgeOps.simple(ins), vertexUniverse)
+      edges = EdgeOps.withSelfLoops(
+        EdgeOps.applyBatch(ins.limit(0), ins, del), vertexUniverse)
         .ckpt()
       ranks = pr.static(edges).ranks
     } else {
       val x = edges
-      val y = EdgeOps.applyBatch(x, ins, ins.limit(0)).ckpt()
-      ranks = pr.dynamicFrontier(x, y, ins, ins.limit(0), ranks).ranks
+      val y = EdgeOps.applyBatch(x, ins, del).ckpt()
+      ranks = pr.dynamicFrontier(x, y, ins, del, ranks).ranks
       edges = y
     }
     batchesApplied += 1
+    persistCompletedBatch(batch)
+  }
+
+  /** Durable per-batch log: normalized batch rows + converged ranks +
+    * manifest line — written only AFTER the re-rank succeeded. */
+  private def persistCompletedBatch(batch: DataFrame): Unit =
+    streamDir.foreach { dir =>
+      val tag = f"${batchesApplied - 1}%05d"
+      val b = if (batch.columns.contains("op"))
+        batch.select(col("src"), col("dst"), col("op"))
+      else batch.select(col("src"), col("dst"), lit("ins").as("op"))
+      b.write.mode("overwrite").parquet(s"$dir/batch_$tag")
+      ranks.write.mode("overwrite").parquet(s"$dir/ranks_$tag")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/STREAM_MANIFEST.jsonl"),
+        s"""{"batch":${batchesApplied - 1},"batchPath":"$dir/batch_$tag","ranksPath":"$dir/ranks_$tag"}""" + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+  /** Rebuild in-memory state from the stream log (no-op without one).
+    * @return number of completed batches restored */
+  def restore(): Int = synchronized {
+    val dir = streamDir.getOrElse(return 0)
+    val mf = Paths.get(s"$dir/STREAM_MANIFEST.jsonl")
+    if (!Files.exists(mf)) return 0
+    val lines = Files.readAllLines(mf)
+    if (lines.isEmpty) return 0
+    val nBatches = lines.size
+    // Fold the logged batches into the edge set, in order (insert+delete
+    // semantics identical to the live path).
+    var e: DataFrame = null
+    for (i <- 0 until nBatches) {
+      val b = spark.read.parquet(f"$dir/batch_$i%05d")
+      val ins = b.where(col("op") =!= "del").select("src", "dst")
+      val del = b.where(col("op") === "del").select("src", "dst")
+      e =
+        if (e == null)
+          EdgeOps.withSelfLoops(EdgeOps.applyBatch(ins.limit(0), ins, del),
+            vertexUniverse).ckpt()
+        else EdgeOps.applyBatch(e, ins, del).ckpt()
+    }
+    edges = e
+    ranks = spark.read.parquet(f"$dir/ranks_${nBatches - 1}%05d").ckpt()
+    batchesApplied = nBatches
+    nBatches
   }
 
   /** Run over a directory of staged-edge parquet files, one file per
     * trigger (the deterministic batch replay). Returns the query; callers
-    * use `processAllAvailable()` for synchronous tests. */
+    * use `processAllAvailable()` for synchronous tests.
+    *
+    * Fails fast on an inconsistent restart: a pre-existing stream checkpoint
+    * means committed batches will NOT be re-delivered — continuing with
+    * empty in-memory state would silently re-bootstrap from a mid-stream
+    * batch. Construct via [[IncrementalPageRank.resume]] (with
+    * opts.checkpointDir) first. */
   def run(stagedDir: String, streamCheckpointDir: String): StreamingQuery = {
+    val ckptExists = Files.exists(Paths.get(streamCheckpointDir, "offsets"))
+    if (ckptExists && edges == null)
+      throw new IllegalStateException(
+        s"stream checkpoint $streamCheckpointDir exists but engine state is " +
+          "empty — restore() from PagerankOptions.checkpointDir (or use " +
+          "IncrementalPageRank.resume) before restarting the stream")
     val schema = "src LONG, dst LONG, seq LONG"
     spark.readStream
       .schema(schema)
@@ -78,5 +158,16 @@ class IncrementalPageRank(spark: SparkSession,
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) => applyBatch(batch) }
       .start()
+  }
+}
+
+object IncrementalPageRank {
+  /** Construct and restore from the durable stream log in
+    * `opts.checkpointDir` (if any) — the resume entry point after a kill. */
+  def resume(spark: SparkSession, vertexUniverse: DataFrame,
+      opts: PagerankOptions): IncrementalPageRank = {
+    val inst = new IncrementalPageRank(spark, vertexUniverse, opts)
+    inst.restore()
+    inst
   }
 }

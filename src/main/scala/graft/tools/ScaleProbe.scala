@@ -47,11 +47,12 @@ object ScaleProbe {
       val staged = WebGraphFixture.edgesOnly(s, pages).toDF()
       val verts = s.range(pages).select(col("id"))
       val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts)
-      val pr = new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = steps))
-      pr.static(y) // warmup incl. links build
+      val useCsr = sys.env.get("PROBE_CSR").contains("1")
+      val opts = PagerankOptions(tolerance = 0.0, maxIterations = steps,
+        useCsr = useCsr)
+      new PageRank(s, opts).static(y) // warmup incl. links build
       stageTime.set(0); stageCount.set(0); taskCount.set(0)
-      val run = new PageRank(s,
-        PagerankOptions(tolerance = 0.0, maxIterations = steps)).static(y)
+      val run = new PageRank(s, opts).static(y)
       val secPerStep = run.stats.computeTimeMs / 1e3 / run.stats.iterations
       val busy = stageTime.get / 1e3 / (run.stats.computeTimeMs / 1e3 * cores)
       println(f"[probe] pages=$pages cores=$cores aqe=$aqe " +

@@ -59,6 +59,14 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pairs(EdgeOps.tidyDeletions(batch, base)) === Set((1L, 2L)))
   }
 
+  test("removeVertices drops the vertex and every edge touching it (C4)") {
+    val base = TestSpark.edgesDf(spark,
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 5L)))
+    import spark.implicits._
+    val got = pairs(EdgeOps.removeVertices(base, Seq(2L, 5L).toDF("id")))
+    assert(got === Set((3L, 1L)))
+  }
+
   test("randomDeletions is a deterministic seeded sample of existing edges") {
     val base = TestSpark.edgesDf(spark, (1L to 50L).map(i => (i, i + 1)))
     val a = pairs(EdgeOps.randomDeletions(base, 5, seed = 42L))

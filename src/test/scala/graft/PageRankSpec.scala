@@ -57,6 +57,86 @@ class PageRankSpec extends AnyFunSuite {
       s"maxDiff=${Oracle.maxDiff(got, want)}")
   }
 
+  test("salted two-phase hub aggregation is value-identical to the one-phase plan") {
+    // Star into a hub (+ a tail) so one dst dominates in-degree; force the
+    // salted plan with a tiny hubThreshold and compare against the default
+    // (one-phase) plan and the oracle. Only fp summation order differs.
+    val star = selfLooped(
+      (1L to 200L).map(i => (i, 0L)) ++ Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val edges = TestSpark.edgesDf(spark, star)
+    val unsalted = TestSpark.collectRanks(new PageRank(spark).static(edges).ranks)
+    val saltedPr = new PageRank(spark, PagerankOptions(hubThreshold = Some(10L)))
+    val saltedRanks = TestSpark.collectRanks(saltedPr.static(edges).ranks)
+    assert(Oracle.allclose(saltedRanks, unsalted, 1e-12),
+      s"maxDiff=${Oracle.maxDiff(saltedRanks, unsalted)}")
+    val want = Oracle.pagerank(new Oracle.G(star), tol = 1e-100)
+    assert(Oracle.allclose(saltedRanks, want, 1e-6))
+  }
+
+  test("salted plan also exact under dynamic frontier (sweep filter + salt)") {
+    val base = selfLooped((1L to 100L).map(i => (i, 0L)) ++ Seq((0L, 5L)))
+    val ins = Seq((7L, 9L), (9L, 23L))
+    val y = selfLooped(base ++ ins)
+    val xDf = TestSpark.edgesDf(spark, base)
+    val yDf = TestSpark.edgesDf(spark, y)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    val opts = PagerankOptions(hubThreshold = Some(10L))
+    val prev = new PageRank(spark, opts).static(xDf).ranks
+    val got = TestSpark.collectRanks(
+      new PageRank(spark, opts).dynamicFrontier(xDf, yDf, insDf, none, prev).ranks)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+    assert(Oracle.allclose(got, want, 1e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
+  test("incremental LinkState (buildLinks + updateLinks) matches a fresh build") {
+    val base = selfLooped(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L)))
+    val ins = Seq((3L, 1L), (1L, 4L))
+    val del = Seq((2L, 4L))
+    val y = selfLooped(base.filterNot(del.contains) ++ ins)
+    val xDf = TestSpark.edgesDf(spark, base)
+    val yDf = TestSpark.edgesDf(spark, y)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val delDf = TestSpark.edgesDf(spark, del)
+
+    val pr = new PageRank(spark)
+    val lsX = pr.buildLinks(xDf)
+    val lsY = pr.updateLinks(lsX, insDf, delDf)
+    val fresh = pr.buildLinks(yDf)
+    // identical link rows + degrees + counts
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "outDeg").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(lsY.links) === rows(fresh.links))
+    assert(lsY.n === fresh.n && lsY.nEdges === fresh.nEdges)
+
+    // and DF over the incremental state converges to the true fixpoint
+    val prev = pr.static(xDf, Some(lsX)).ranks
+    val got = TestSpark.collectRanks(
+      pr.dynamicFrontier(xDf, yDf, insDf, delDf, prev, Some(lsY)).ranks)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+    assert(Oracle.allclose(got, want, 1e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
+  test("incremental LinkState carries the salt column when hubs are present") {
+    val star = selfLooped((1L to 200L).map(i => (i, 0L)) ++ Seq((0L, 1L)))
+    val ins = Seq((5L, 7L))
+    val y = selfLooped(star ++ ins)
+    val pr = new PageRank(spark, PagerankOptions(hubThreshold = Some(10L)))
+    val lsX = pr.buildLinks(TestSpark.edgesDf(spark, star))
+    assert(lsX.hubs.isDefined)
+    val lsY = pr.updateLinks(lsX, TestSpark.edgesDf(spark, ins),
+      TestSpark.edgesDf(spark, ins).limit(0))
+    assert(lsY.links.columns.contains("salt"))
+    val prev = pr.static(TestSpark.edgesDf(spark, star), Some(lsX)).ranks
+    val got = TestSpark.collectRanks(pr.dynamicFrontier(
+      TestSpark.edgesDf(spark, star), TestSpark.edgesDf(spark, y),
+      TestSpark.edgesDf(spark, ins), TestSpark.edgesDf(spark, ins).limit(0),
+      prev, Some(lsY)).ranks)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+    assert(Oracle.allclose(got, want, 1e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
   test("L1 residual mode also converges to the same fixpoint") {
     val pr = new PageRank(spark, PagerankOptions(useL1Residual = true))
     val got = TestSpark.collectRanks(

@@ -52,4 +52,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet === want.keySet)
     assert(Oracle.allclose(got, want, 2e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
   }
+
+  test("mixed insertion+deletion batch converges to the static ranks of the shrunk graph") {
+    val P = 120L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF()
+      .select("src", "dst").dropDuplicates("src", "dst").cache()
+    val universe = EdgeOps.vertices(staged)
+    val inc = new IncrementalPageRank(spark, universe)
+    // batch 0: full graph (insertions)
+    inc.applyBatch(staged)
+    // batch 1: delete every non-self-loop edge with src % 7 == 0, insert two
+    val del = staged.where($"src" % 7 === 0 && $"src" =!= $"dst")
+      .withColumn("op", lit("del"))
+    val ins = Seq((3L, 11L), (11L, 42L)).toDF("src", "dst")
+      .join(staged, Seq("src", "dst"), "left_anti")
+      .withColumn("op", lit("ins"))
+    inc.applyBatch(ins.unionByName(del))
+    assert(inc.batches === 2)
+
+    val yFinal = EdgeOps.withSelfLoops(
+      EdgeOps.applyBatch(staged, ins.select("src", "dst"), del.select("src", "dst")),
+      universe)
+    val want = TestSpark.collectRanks(new PageRank(spark).static(yFinal).ranks)
+    val got = TestSpark.collectRanks(inc.currentRanks)
+    assert(got.keySet === want.keySet)
+    assert(Oracle.allclose(got, want, 2e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
+  test("kill/resume: restore() rebuilds edges+ranks from the stream log; fresh run fails fast") {
+    import graft.model.PagerankOptions
+    val P = 100L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF()
+      .select("src", "dst").dropDuplicates("src", "dst").cache()
+    val universe = EdgeOps.vertices(staged).cache()
+    val ckptDir = Files.createTempDirectory("graft-inc-ckpt").toString
+    val opts = PagerankOptions(checkpointDir = Some(ckptDir))
+
+    val inc = new IncrementalPageRank(spark, universe, opts)
+    val b0 = staged.where($"src" < 50)
+    val b1 = staged.where($"src" >= 50)
+    inc.applyBatch(b0)
+    inc.applyBatch(b1)
+
+    // "kill": a brand-new instance restores both batches from the log
+    val revived = IncrementalPageRank.resume(spark, universe, opts)
+    assert(revived.batches === 2)
+    val got = TestSpark.collectRanks(revived.currentRanks)
+    val want = TestSpark.collectRanks(inc.currentRanks)
+    assert(Oracle.allclose(got, want, 0.0))
+    assert(TestSpark.collectRanks(revived.currentEdges
+      .groupBy("src").count().select(col("src").as("id"), col("count").cast("double").as("rank")))
+      === TestSpark.collectRanks(inc.currentEdges
+        .groupBy("src").count().select(col("src").as("id"), col("count").cast("double").as("rank"))))
+
+    // fail-fast: restart over an existing stream checkpoint with EMPTY state
+    val streamCkpt = Files.createTempDirectory("graft-stream-ckpt2")
+    Files.createDirectories(streamCkpt.resolve("offsets"))
+    val fresh = new IncrementalPageRank(spark, universe)
+    val ex = intercept[IllegalStateException] {
+      fresh.run("/nonexistent-staged-dir", streamCkpt.toString)
+    }
+    assert(ex.getMessage.contains("restore()"))
+  }
 }

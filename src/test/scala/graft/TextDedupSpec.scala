@@ -96,6 +96,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("degenerate LSH bucket (1k identical docs) is capped, not exploded") {
+    // 1000 identical empty docs share every band signature — without the
+    // bucket cap the candidate self-join is ~500k pairs from one bucket.
+    val degenerate = docs((0L until 1000L).map(i => (i, "")): _*)
+    val capped = Dedup.minhashLsh(degenerate, n = 5, k = 32, bands = 8,
+      threshold = 0.0, maxBucket = 100)
+    assert(capped.count() === 0) // all buckets over cap → dropped, bounded
+    val sim = Dedup.simhashPairs(degenerate, maxHamming = 6, maxBucket = 100)
+    assert(sim.count() === 0)
+    // an honest mixed corpus still surfaces its near-dups under the cap
+    val mixed = docs((0L until 50L).map(i => (i, s"the same text body $i")) ++
+      Seq((100L, "a completely identical pair of documents xyz"),
+        (101L, "a completely identical pair of documents xyz")): _*)
+    val pairs = Dedup.minhashLsh(mixed, n = 5, k = 32, bands = 8,
+      threshold = 0.9, maxBucket = 100).collect()
+    assert(pairs.exists(r => r.getLong(0) === 100L && r.getLong(1) === 101L))
+  }
+
   test("simhash: identical texts collide; near/far texts ordered by hamming") {
     // With few distinct tokens, per-bit vote sums sit near zero and one
     // extra token can flip ~25% of the zero-sum bits — so "near" means
