@@ -168,18 +168,23 @@ object Bench {
     qTimes("pagerank_static_converge_1e10") = tStaticX
 
     // Per-technique rank registers (reference main.cxx:69-72,100-103).
+    // The DataFrame track is capped at dfBatches (its O(|V|)-per-superstep
+    // floor makes each batch expensive); the CSR dynamic track — the
+    // engine's O(frontier) path — runs ALL nBatches.
+    val dfBatches = math.min(nBatches,
+      sys.env.getOrElse("GRAFT_BENCH_DF_BATCHES", "3").toInt)
     var prevDf = staticRun.ranks
     var prevDfp = staticRun.ranks
     val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
     val dfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
     var dfIters, dfpIters = 0
     var xLinks = ls.links.select("src", "dst")
-    for (b <- 0 until nBatches) {
-      val ins = staged
-        .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
-        .select("src", "dst").dropDuplicates("src", "dst")
-        .join(xLinks, Seq("src", "dst"), "left_anti")
-        .cache()
+    def batchIns(b: Int, existing: DataFrame): DataFrame = staged
+      .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
+      .select("src", "dst").dropDuplicates("src", "dst")
+      .join(existing, Seq("src", "dst"), "left_anti")
+    for (b <- 0 until dfBatches) {
+      val ins = batchIns(b, xLinks).cache()
       val none = ins.limit(0)
       val lsY = pr.updateLinks(ls, ins, none)
       val yLinks = lsY.links.select("src", "dst")
@@ -200,6 +205,51 @@ object Bench {
     qTimes("pagerank_dynamic_frontier_converge") = avgDf
     qTimes("pagerank_dfp_converge") = avgDfp
 
+    // ---- Phase 4: CSR dynamic loop (O(frontier) supersteps) over ALL
+    // batches — the partition-local-CSR analog of the reference's headline
+    // DF/DF-P experiment.
+    val dyn = new graft.pagerank.CsrDynamic(s)
+    val csr = new graft.pagerank.CsrPageRank(s)
+    val ((g0, csrStaticRun, st0), tCsrStatic) = time {
+      val g = csr.build(x0)
+      val (run, st) = dyn.staticWithState(g)
+      (g, run, st)
+    }
+    qTimes("pagerank_csr_static_converge") = tCsrStatic
+    var gDf = g0; var stDf = st0
+    var gDfp = g0; var stDfp = st0
+    val csrDfSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val csrDfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    var csrDfIters, csrDfpIters = 0
+    // running edge set, only for the tidy-insertions anti-join
+    var xEdges = x0
+    for (b <- 0 until nBatches) {
+      val ins = batchIns(b, xEdges).cache()
+      ins.count()
+      val none = ins.limit(0)
+      val ((gDf2, csrDfRun, stDf2), tD) =
+        time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
+      csrDfSecs += tD; csrDfIters += csrDfRun.stats.iterations
+      val ((gDfp2, csrDfpRun, stDfp2), tP) =
+        time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
+      csrDfpSecs += tP; csrDfpIters += csrDfpRun.stats.iterations
+      if (b > 0) { // b=0 inputs are the shared g0/st0
+        gDf.blocks.unpersist(false); stDf.unpersist(false)
+        gDfp.blocks.unpersist(false); stDfp.unpersist(false)
+      }
+      gDf = gDf2; stDf = stDf2
+      gDfp = gDfp2; stDfp = stDfp2
+      val nextX = EdgeOps.applyBatch(xEdges, ins, none).cache()
+      nextX.count()
+      if (b > 0) xEdges.unpersist()
+      xEdges = nextX
+      ins.unpersist()
+    }
+    val avgCsrDf = csrDfSecs.sum / math.max(1, csrDfSecs.size)
+    val avgCsrDfp = csrDfpSecs.sum / math.max(1, csrDfpSecs.size)
+    qTimes("pagerank_csr_df_converge") = avgCsrDf
+    qTimes("pagerank_csr_dfp_converge") = avgCsrDfp
+
     def arr(xs: Seq[Double]): String =
       xs.map(v => f"$v%.3f").mkString("[", ",", "]")
     val qs = qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -210,12 +260,21 @@ object Bench {
         scalingJson + "," +
         s""""static_converge_iters":${staticRun.stats.iterations},""" +
         s""""n_batches":$nBatches,"batch_edges":$batchLen,""" +
-        f""""df_avg_iters":${dfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
-        f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        f""""df_avg_iters":${dfIters.toDouble / math.max(1, dfBatches)}%.1f,""" +
+        f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, dfBatches)}%.1f,""" +
         s""""df_batch_secs":${arr(dfSecs.toSeq)},""" +
         s""""dfp_batch_secs":${arr(dfpSecs.toSeq)},""" +
         f""""df_speedup_vs_static":${tStaticX / avgDf}%.2f,""" +
-        f""""dfp_speedup_vs_static":${tStaticX / avgDfp}%.2f}"""
+        f""""dfp_speedup_vs_static":${tStaticX / avgDfp}%.2f,""" +
+        s""""csr_static_converge_iters":${csrStaticRun.stats.iterations},""" +
+        f""""csr_df_avg_iters":${csrDfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        f""""csr_dfp_avg_iters":${csrDfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        s""""csr_df_batch_secs":${arr(csrDfSecs.toSeq)},""" +
+        s""""csr_dfp_batch_secs":${arr(csrDfpSecs.toSeq)},""" +
+        f""""csr_df_speedup_vs_csr_static":${tCsrStatic / avgCsrDf}%.2f,""" +
+        f""""csr_dfp_speedup_vs_csr_static":${tCsrStatic / avgCsrDfp}%.2f,""" +
+        f""""csr_df_speedup_vs_df_static":${tStaticX / avgCsrDf}%.2f,""" +
+        f""""csr_dfp_speedup_vs_df_static":${tStaticX / avgCsrDfp}%.2f}"""
     emit(json)
     s.stop()
   }

@@ -376,6 +376,17 @@ object SparkEntry {
         |FROM common JOIN sz sza ON sza.doc_id = a JOIN sz szb ON szb.doc_id = b
         |WHERE CAST(c AS DOUBLE)/(sza.sz + szb.sz - c) >= 0.2 ORDER BY a, b""".stripMargin,
 
+    // Video frame-sampling plumbing: kind(video) = doc_id%3==2, durationMs =
+    // doc_id%30000+1000 (Multimodal.mediaFromDocuments), frames =
+    // clamp(duration/everyMs, 1, maxFrames) with everyMs=5000, maxFrames=4 —
+    // verifies the sampling/grouping pipeline (the per-frame decode is the
+    // declared stub and carries no oracle).
+    "q_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(least(greatest((doc_id % 30000 + 1000) // 5000, 1), 4) AS BIGINT)
+        |    AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dupes
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

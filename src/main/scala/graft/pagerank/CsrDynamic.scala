@@ -1,0 +1,442 @@
+package graft.pagerank
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.{PagerankOptions, PagerankStats}
+import CsrPageRank.{CsrBlock, CsrGraph}
+import CsrDynamic._
+
+/** Dynamic Frontier / DF-P PageRank over partition-local CSR blocks — the
+  * north rule's "dynamic/incremental PageRank over partition-local CSR
+  * blocks" realized as push-based delta propagation (the CSR analog of the
+  * reference's frontier kernels, /root/reference/inc/pagerank.hxx:679-729,
+  * inc/pagerankPrune.hxx:183-281).
+  *
+  * Loop state per partition, aligned to the CSR block's sorted vertex array:
+  *   rank : Array[Double]   current rank vector block
+  *   s    : Array[Double]   EXACT incoming-contribution sums
+  *                          S(v) = Σ_{u→v} rank(u)·invDeg(u)
+  *   flag : Array[Boolean]  affected (frontier) membership
+  *
+  * Because S is maintained incrementally, a superstep touches ONLY the
+  * frontier: sweep each flagged v (a = C0 + P·S, or the DF-P closed form),
+  * push Δrank·invDeg to its out-neighbors as packed sparse arrays (keeping
+  * every S exact), and mark receivers whose sender's relative change
+  * exceeded frontierTolerance (DF expansion, pagerank.hxx:688-692; DF-P
+  * additionally unflags swept vertices at rest and skips the self edge,
+  * pagerankPrune.hxx:62-67). One shuffle and ONE job per superstep, with
+  * work O(Σ outdeg(changed)) instead of O(|E|) — this is what makes a
+  * 1e-4·|E| batch converge in milliseconds-per-superstep at web scale.
+  *
+  * A batch is applied by SPLICING the CSR blocks in place of a rebuild
+  * ([[applyBatch]]): batch edges are routed to their src partitions with
+  * dst pre-resolved to (part, idx); each touched src's adjacency segment is
+  * rewritten (array copy, no shuffle of untouched edges — the reference's
+  * amortized lazy adjacency merge, /root/reference/inc/_bitset.hxx:227-262),
+  * while the SAME pass emits S-correction deltas (old-degree terms retracted,
+  * new-degree terms added) and the DF initial marking (out-neighbors in x of
+  * deletion srcs, in y of insertion srcs, pagerank.hxx:631-637) as the first
+  * round of messages.
+  *
+  * Numeric contract identical to [[PageRank]]'s DF variants; CsrDynamicSpec
+  * asserts allclose vs the DataFrame path and the in-memory oracle.
+  * Semantics requirement: the vertex universe is FIXED (every batch endpoint
+  * already has its self-loop in the base graph) — the same eager-universe
+  * contract the reference's temporal loader establishes
+  * (/root/reference/inc/snap.hxx:133).
+  */
+class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
+
+  private val ip = (parts: Int) => new IdxPartitioner(parts)
+
+  /** Contribution sums for the given ranks — one full sweep job (used once
+    * per base graph; batches thereafter keep S exact incrementally). */
+  def computeS(g: CsrGraph, ranks: RDD[Array[Double]]): RDD[Array[Double]] = {
+    val parts = g.vCounts.length
+    val vc = spark.sparkContext.broadcast(g.vCounts)
+    val msgs = g.blocks.zipPartitions(ranks, preservesPartitioning = false) {
+      (bIt, rIt) =>
+        val b = bIt.next()
+        val r = rIt.next()
+        val acc = new java.util.HashMap[Long, Double]()
+        var i = 0
+        while (i < b.srcs.length) {
+          val w = r(i) * b.invDeg(i)
+          var e = b.offsets(i)
+          while (e < b.offsets(i + 1)) {
+            val key = pack(b.dstPart(e), b.dstIdx(e))
+            acc.merge(key, w, (a, x) => a + x)
+            e += 1
+          }
+          i += 1
+        }
+        emitPacked(acc, java.util.Collections.emptySet[java.lang.Long](),
+          vc.value.length)
+    }
+    msgs.partitionBy(ip(parts))
+      .zipPartitions(g.blocks, preservesPartitioning = true) { (mIt, bIt) =>
+        val n = bIt.next().srcs.length
+        val s = new Array[Double](n)
+        mIt.foreach { case (_, (idxs, deltas, _)) =>
+          var j = 0
+          while (j < idxs.length) { s(idxs(j)) += deltas(j); j += 1 }
+        }
+        Iterator.single(s)
+      }
+  }
+
+  /** Static run that also returns the carried dynamic state (ranks + S) —
+    * the batch loop's base-graph step. */
+  def staticWithState(g: CsrGraph): (PagerankRun, RDD[CsrState]) = {
+    val run = new CsrPageRank(spark, opts).staticOnGraph(g)
+    val parts = g.vCounts.length
+    val ranks: RDD[Array[Double]] = run.ranks.rdd
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .partitionBy(new HashPartitioner(parts))
+      .zipPartitions(g.blocks, preservesPartitioning = true) { (rIt, bIt) =>
+        val b = bIt.next()
+        val arr = new Array[Double](b.srcs.length)
+        rIt.foreach { case (id, rk) =>
+          arr(java.util.Arrays.binarySearch(b.srcs, id)) = rk
+        }
+        Iterator.single(arr)
+      }
+    ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
+    val s = computeS(g, ranks)
+    val state = ranks.zipPartitions(s, preservesPartitioning = true) {
+      (rIt, sIt) =>
+        val r = rIt.next()
+        Iterator.single(CsrState(r, sIt.next(), new Array[Boolean](r.length)))
+    }
+    state.persist(StorageLevel.MEMORY_AND_DISK).count()
+    ranks.unpersist(false)
+    (run, state)
+  }
+
+  /** Splice a tidied batch into the CSR graph and run DF / DF-P from the
+    * carried state. Returns (updated graph, run result, carried state for
+    * the next batch).
+    *
+    * `insertions` must be tidy (not already present, endpoints in the
+    * universe); `deletions` must exist. Use EdgeOps.tidy* upstream.
+    */
+  def applyBatch(g: CsrGraph, state: RDD[CsrState],
+      insertions: DataFrame, deletions: DataFrame,
+      prune: Boolean): (CsrGraph, PagerankRun, RDD[CsrState]) = {
+    val t0 = System.nanoTime()
+    val sc = spark.sparkContext
+    val parts = g.vCounts.length
+    val hp = new HashPartitioner(parts)
+
+    // Route batch edges to the DST partition to resolve (part, idx), then to
+    // the SRC partition for the splice. Both shuffles are O(|batch|).
+    def edgeRdd(df: DataFrame, isDel: Boolean): RDD[(Long, (Long, Boolean))] =
+      df.select("src", "dst").rdd.map(r => (r.getLong(1), (r.getLong(0), isDel)))
+    val routed = edgeRdd(insertions, isDel = false)
+      .union(edgeRdd(deletions, isDel = true))
+      .partitionBy(hp)
+      .zipPartitions(g.blocks, preservesPartitioning = false) { (eIt, bIt) =>
+        val b = bIt.next()
+        val p = org.apache.spark.TaskContext.getPartitionId()
+        eIt.map { case (dst, (src, isDel)) =>
+          val di = java.util.Arrays.binarySearch(b.srcs, dst)
+          require(di >= 0, s"batch dst $dst outside the vertex universe")
+          (homePart(src, parts), (src, isDel, p, di))
+        }
+      }
+      .partitionBy(ip(parts))
+
+    // Splice blocks; emit S-corrections + DF initial marking as messages.
+    val vc = sc.broadcast(g.vCounts)
+    val spliced = routed.zipPartitions(g.blocks, state,
+      preservesPartitioning = true) { (eIt, bIt, stIt) =>
+      val b = bIt.next()
+      val st = stIt.next()
+      Iterator.single(spliceBlock(b, st, eIt, vc.value.length))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    spliced.count()
+
+    val newBlocks = spliced.map(_._1)
+    newBlocks.persist(StorageLevel.MEMORY_AND_DISK).count()
+    val nEdges = newBlocks.map(_.offsets.last.toLong).sum().toLong
+    val newG = CsrGraph(newBlocks, g.vCounts, g.n, nEdges)
+
+    // Loop state: (state with patches NOT yet applied, patch messages as the
+    // first round's incoming traffic). The input g.blocks/state stay
+    // persisted — the CALLER owns them (it may advance several technique
+    // tracks from the same snapshot, reference main.cxx:87-99).
+    var cur: RDD[(CsrState, Array[(Int, Msg)])] = spliced.map {
+      case (_, st, patches) => (st, patches)
+    }
+    cur.persist(StorageLevel.MEMORY_AND_DISK).count()
+    spliced.unpersist(false)
+    val t1 = System.nanoTime()
+
+    // ---------------- superstep loop: ONE job per superstep ----------------
+    val c0 = (1 - opts.damping) / newG.n
+    val damp = opts.damping
+    val fTol = opts.frontierTolerance
+    val pTol = opts.pruneTolerance
+    var iter = 0
+    var residual = Double.MaxValue
+    var active = 1L
+    while (iter < opts.maxIterations && residual >= opts.tolerance &&
+        active > 0) {
+      val resAcc = new PartitionValueAcc
+      val activeAcc = new PartitionValueAcc
+      sc.register(resAcc, s"dyn_res_$iter")
+      sc.register(activeAcc, s"dyn_active_$iter")
+      val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
+      val nxt = cur.map(_._1).zipPartitions(msgs, newG.blocks,
+        preservesPartitioning = true) { (stIt, mIt, bIt) =>
+        // copy-on-write: the incoming state objects live in the previous
+        // RDD's cache — mutating them in place would corrupt the cached
+        // partition if this task were retried after a partial sweep
+        val st0 = stIt.next()
+        val st = CsrState(st0.rank.clone(), st0.s.clone(), st0.flag.clone())
+        val b = bIt.next()
+        val p = org.apache.spark.TaskContext.getPartitionId()
+        // (1) apply incoming deltas to S, marks to flags
+        mIt.foreach { case (_, (idxs, deltas, marks)) =>
+          var j = 0
+          while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
+          j = 0
+          while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
+        }
+        // (2) sweep the frontier, push deltas, expand
+        val out = new java.util.HashMap[Long, Double]()
+        val outMarks = new java.util.HashSet[java.lang.Long]()
+        var maxD = 0.0
+        var nActive = 0L
+        var i = 0
+        while (i < st.rank.length) {
+          if (st.flag(i)) {
+            val r0 = st.rank(i)
+            val inv = b.invDeg(i)
+            val a =
+              if (!prune) c0 + damp * st.s(i)
+              else (c0 + damp * (st.s(i) - r0 * inv)) / (1.0 - damp * inv)
+            val d = math.abs(a - r0)
+            if (d > maxD) maxD = d
+            val relD = if (d == 0.0) 0.0 else d / math.max(a, r0)
+            if (prune) st.flag(i) = relD > pTol // frontier can shrink
+            if (d != 0.0) {
+              st.rank(i) = a
+              val dw = (a - r0) * inv
+              val mark = relD > fTol
+              var e = b.offsets(i)
+              while (e < b.offsets(i + 1)) {
+                val tp = b.dstPart(e)
+                val ti = b.dstIdx(e)
+                val key = pack(tp, ti)
+                out.merge(key, dw, (x, y) => x + y)
+                // DF-P expansion skips the self edge (v != u)
+                if (mark && !(prune && tp == p && ti == i)) outMarks.add(key)
+                e += 1
+              }
+            }
+            if (st.flag(i)) nActive += 1
+          }
+          i += 1
+        }
+        resAcc.add((p, maxD))
+        // still-active = flagged locally + marks in flight (receivers get
+        // flagged next round) — folded into one accumulator, no extra job
+        activeAcc.add((p, nActive.toDouble + outMarks.size()))
+        val outArr = emitPacked(out, outMarks, vc.value.length).toArray
+        Iterator.single((st, outArr))
+      }
+      nxt.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((iter + 1) % 15 == 0) nxt.localCheckpoint()
+      nxt.count()
+      residual = if (resAcc.value.isEmpty) 0.0 else resAcc.value.values.max
+      active = activeAcc.value.values.map(_.toLong).sum
+      cur.unpersist(false)
+      cur = nxt
+      iter += 1
+    }
+    val t3 = System.nanoTime()
+
+    import spark.implicits._
+    val finalState = cur.map(_._1)
+    finalState.persist(StorageLevel.MEMORY_AND_DISK).count()
+    val out = newG.blocks.zipPartitions(finalState,
+      preservesPartitioning = false) { (bIt, stIt) =>
+      bIt.next().srcs.iterator.zip(stIt.next().rank.iterator)
+    }.toDF("id", "rank")
+    cur.unpersist(false)
+    val run = PagerankRun(out,
+      PagerankStats(iter, 0.0, (t1 - t0) / 1e6, (t3 - t1) / 1e6, residual))
+    (newG, run, finalState)
+  }
+}
+
+object CsrDynamic {
+
+  /** Per-partition loop state, aligned to the CSR block's vertex array. */
+  final case class CsrState(rank: Array[Double], s: Array[Double],
+      flag: Array[Boolean])
+
+  /** Packed message batch for one target partition:
+    * (local idxs, S deltas, marked local idxs). */
+  type Msg = (Array[Int], Array[Double], Array[Int])
+
+  final class IdxPartitioner(val parts: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = parts
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def equals(o: Any): Boolean = o match {
+      case p: IdxPartitioner => p.parts == parts
+      case _ => false
+    }
+    override def hashCode(): Int = parts
+  }
+
+  /** Retry-safe per-partition scalar accumulator (overwrite-idempotent). */
+  final class PartitionValueAcc
+      extends org.apache.spark.util.AccumulatorV2[(Int, Double), Map[Int, Double]] {
+    private var m = Map.empty[Int, Double]
+    def isZero: Boolean = m.isEmpty
+    def copy(): PartitionValueAcc = { val a = new PartitionValueAcc; a.m = m; a }
+    def reset(): Unit = m = Map.empty
+    def add(x: (Int, Double)): Unit = m += x
+    def merge(o: org.apache.spark.util.AccumulatorV2[(Int, Double), Map[Int, Double]]): Unit =
+      m ++= o.value
+    def value: Map[Int, Double] = m
+  }
+
+  def pack(part: Int, idx: Int): Long =
+    (part.toLong << 32) | (idx.toLong & 0xffffffffL)
+
+  /** Home partition of a vertex id under Spark's HashPartitioner(parts). */
+  def homePart(id: Long, parts: Int): Int = {
+    val h = (id ^ (id >>> 32)).toInt
+    val m = h % parts
+    if (m < 0) m + parts else m
+  }
+
+  /** Bucket a packed (part,idx)→delta map (+ marked keys) into per-target
+    * packed arrays. */
+  def emitPacked(acc: java.util.HashMap[Long, Double],
+      marks: java.util.Set[java.lang.Long], parts: Int)
+      : Iterator[(Int, Msg)] = {
+    val idxBuf = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    val valBuf = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+    val markBuf = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val q = (e.getKey >>> 32).toInt
+      idxBuf(q) += (e.getKey & 0xffffffffL).toInt
+      valBuf(q) += e.getValue
+    }
+    val mit = marks.iterator()
+    while (mit.hasNext) {
+      val k = mit.next().longValue()
+      markBuf((k >>> 32).toInt) += (k & 0xffffffffL).toInt
+    }
+    (0 until parts).iterator.map { q =>
+      (q, (idxBuf(q).result(), valBuf(q).result(), markBuf(q).result()))
+    }.filter { case (_, (i, _, m)) => i.nonEmpty || m.nonEmpty }
+  }
+
+  /** Rewrite one partition's CSR block with its batch slice; emit S
+    * corrections and the DF initial marking as packed messages.
+    *
+    * Per touched src u (local index i):
+    *  - retract old terms: Δ −= rank(u)·invDegOld to every OLD neighbor
+    *  - add new terms:     Δ += rank(u)·invDegNew to every NEW neighbor
+    *  - mark OLD neighbors if u had an (existing) deletion; NEW neighbors if
+    *    u had a (novel) insertion — pagerank.hxx:631-637's fm rule.
+    * Untouched srcs' segments are array-copied verbatim.
+    */
+  def spliceBlock(b: CsrBlock, st: CsrState,
+      batch: Iterator[(Int, (Long, Boolean, Int, Int))], parts: Int)
+      : (CsrBlock, CsrState, Array[(Int, Msg)]) = {
+    // group the batch by local src index
+    val insBy = new java.util.HashMap[Int, java.util.ArrayList[Long]]()
+    val delBy = new java.util.HashMap[Int, java.util.HashSet[java.lang.Long]]()
+    batch.foreach { case (_, (src, isDel, dp, di)) =>
+      val i = java.util.Arrays.binarySearch(b.srcs, src)
+      require(i >= 0, s"batch src $src outside the vertex universe")
+      val key = pack(dp, di)
+      if (isDel) delBy.computeIfAbsent(i, _ => new java.util.HashSet[java.lang.Long]())
+        .add(key)
+      else insBy.computeIfAbsent(i, _ => new java.util.ArrayList[Long]())
+        .add(key)
+    }
+    if (insBy.isEmpty && delBy.isEmpty)
+      return (b, st, Array.empty)
+
+    val n = b.srcs.length
+    val newOffsets = new Array[Int](n + 1)
+    val outP = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outI = new scala.collection.mutable.ArrayBuilder.ofInt
+    val newInv = new Array[Double](n)
+    val patch = new java.util.HashMap[Long, Double]()
+    val marks = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    var w = 0
+    while (i < n) {
+      newOffsets(i) = w
+      val from = b.offsets(i)
+      val until = b.offsets(i + 1)
+      val ins = insBy.get(i)
+      val del = delBy.get(i)
+      if (ins == null && del == null) {
+        var e = from
+        while (e < until) { outP += b.dstPart(e); outI += b.dstIdx(e); e += 1 }
+        w += until - from
+        newInv(i) = b.invDeg(i)
+      } else {
+        // old adjacency as packed keys
+        val oldKeys = new java.util.ArrayList[Long](until - from)
+        var e = from
+        while (e < until) { oldKeys.add(pack(b.dstPart(e), b.dstIdx(e))); e += 1 }
+        val present = new java.util.HashSet[java.lang.Long](oldKeys.size * 2)
+        oldKeys.forEach(k => present.add(k))
+        val newKeys = new java.util.ArrayList[Long](oldKeys.size + 4)
+        oldKeys.forEach { k =>
+          if (del == null || !del.contains(k)) newKeys.add(k)
+        }
+        var hadIns = false
+        if (ins != null) ins.forEach { k =>
+          if (!present.contains(k)) { newKeys.add(k); present.add(k); hadIns = true }
+        }
+        // effective deletion = any old key actually removed (deleting a
+        // non-existent edge is a no-op, inc/_bitset.hxx:297-301)
+        var removed = false
+        if (del != null) {
+          val oit = oldKeys.iterator()
+          while (oit.hasNext && !removed) {
+            if (del.contains(oit.next())) removed = true
+          }
+        }
+        require(newKeys.size > 0,
+          s"vertex ${b.srcs(i)} would lose its last edge (self-loop contract)")
+        val invOld = b.invDeg(i)
+        val invNew = 1.0 / newKeys.size
+        newInv(i) = invNew
+        val r = st.rank(i)
+        // retract old contributions, add new (also covers pure degree change)
+        oldKeys.forEach { k =>
+          patch.merge(k, -r * invOld, (a: Double, x: Double) => a + x)
+          if (removed) marks.add(k) // mark out-nbrs of u in x on deletion
+        }
+        newKeys.forEach { k =>
+          patch.merge(k, r * invNew, (a: Double, x: Double) => a + x)
+          if (hadIns) marks.add(k) // mark out-nbrs of u in y on insertion
+          outP += (k >>> 32).toInt
+          outI += (k & 0xffffffffL).toInt
+        }
+        w += newKeys.size
+      }
+      i += 1
+    }
+    newOffsets(n) = w
+    val nb = CsrBlock(b.srcs, newInv, newOffsets, outP.result(), outI.result())
+    (nb, st, emitPacked(patch, marks, parts).toArray)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.EdgeOps
+import graft.ingest.WebGraphFixture
+import graft.model.PagerankOptions
+import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
+
+/** CSR dynamic-frontier engine (push-based delta propagation over
+  * partition-local CSR blocks) vs the DataFrame DF/DF-P variants and the
+  * in-memory oracle. */
+class CsrDynamicSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def selfLooped(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    (edges ++ vs.map(v => (v, v))).distinct
+  }
+
+  /** Base fixture: real web graph at 250 pages, batch = the tail of the
+    * deterministic stream (same protocol as the bench). */
+  def fixture(p: Long = 250L): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val raw = WebGraphFixture.rawEdges(p).distinct
+    val verts = (0L until p)
+    val all = (raw ++ verts.map(v => (v, v))).distinct
+    val cut = (raw.size * 0.9).toInt
+    val ins = raw.drop(cut).filterNot(raw.take(cut).contains)
+      .filterNot { case (a, b) => a == b }
+    val base = all.filterNot(e => ins.contains(e))
+    (base, ins)
+  }
+
+  test("CSR DF after one insertion batch: allclose oracle + DataFrame DF") {
+    val (base, ins) = fixture()
+    val y = (base ++ ins).distinct
+    val xDf = TestSpark.edgesDf(spark, base)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(xDf)
+    val (staticRun, st0) = dyn.staticWithState(g0)
+    val (g1, dfRun, _) = dyn.applyBatch(g0, st0, insDf, none, prune = false)
+    assert(g1.nEdges === y.size)
+
+    val got = TestSpark.collectRanks(dfRun.ranks)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+    assert(got.size === want.size)
+    assert(Oracle.allclose(got, want, 1e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+
+    // vs DataFrame DF (same variant, same tolerances)
+    val pr = new PageRank(spark)
+    val prev = pr.static(xDf).ranks
+    val dfDataframe = TestSpark.collectRanks(
+      pr.dynamicFrontier(xDf, TestSpark.edgesDf(spark, y), insDf, none, prev).ranks)
+    assert(Oracle.allclose(got, dfDataframe, 1e-9),
+      s"maxDiff=${Oracle.maxDiff(got, dfDataframe)}")
+  }
+
+  test("CSR DF-P (pruning) after a mixed insertion+deletion batch: allclose oracle") {
+    val (base, ins) = fixture(200L)
+    // delete a few non-self-loop base edges
+    val del = base.filter { case (a, b) => a != b && a % 13 == 0 }.take(8)
+    val y = (base.filterNot(del.contains) ++ ins).distinct
+    val xDf = TestSpark.edgesDf(spark, base)
+
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(xDf)
+    val (_, st0) = dyn.staticWithState(g0)
+    val (g1, run, _) = dyn.applyBatch(g0, st0,
+      TestSpark.edgesDf(spark, ins), TestSpark.edgesDf(spark, del),
+      prune = true)
+    assert(g1.nEdges === y.size)
+    val got = TestSpark.collectRanks(run.ranks)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+    assert(Oracle.allclose(got, want, 2e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
+  test("multi-batch carry: 3 consecutive batches stay allclose the fresh static run") {
+    val p = 200L
+    val raw = WebGraphFixture.rawEdges(p).distinct.filter { case (a, b) => a != b }
+    val verts = (0L until p).map(v => (v, v))
+    val cut = (raw.size * 0.85).toInt
+    val base = (raw.take(cut) ++ verts).distinct
+    val batches = raw.drop(cut).grouped(math.max(1, (raw.size - cut) / 3 + 1)).toSeq
+
+    val dyn = new CsrDynamic(spark)
+    var g = new CsrPageRank(spark).build(TestSpark.edgesDf(spark, base))
+    var (_, st) = dyn.staticWithState(g)
+    var edges = base
+    for (b <- batches) {
+      val ins = b.filterNot(edges.contains)
+      edges = (edges ++ ins).distinct
+      val insDf = TestSpark.edgesDf(spark, ins)
+      val (g2, run, st2) = dyn.applyBatch(g, st, insDf, insDf.limit(0),
+        prune = false)
+      g = g2; st = st2
+      val got = TestSpark.collectRanks(run.ranks)
+      val want = Oracle.pagerank(new Oracle.G(edges), tol = 1e-100)
+      assert(Oracle.allclose(got, want, 2e-6),
+        s"maxDiff=${Oracle.maxDiff(got, want)} after batch")
+    }
+  }
+
+  test("empty batch is a fixpoint no-op (1 superstep, ranks unchanged)") {
+    val base = selfLooped(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(TestSpark.edgesDf(spark, base))
+    val (staticRun, st0) = dyn.staticWithState(g0)
+    val none = TestSpark.edgesDf(spark, Seq.empty[(Long, Long)])
+    val (_, run, _) = dyn.applyBatch(g0, st0, none, none, prune = false)
+    assert(run.stats.iterations <= 1)
+    val a = TestSpark.collectRanks(run.ranks)
+    val b = TestSpark.collectRanks(staticRun.ranks)
+    assert(Oracle.allclose(a, b, 0.0))
+  }
+
+  test("deleting a non-existent edge is a no-op (reference no-op contract)") {
+    val base = selfLooped(Seq((1L, 2L), (2L, 3L)))
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(TestSpark.edgesDf(spark, base))
+    val (staticRun, st0) = dyn.staticWithState(g0)
+    val ghostDel = TestSpark.edgesDf(spark, Seq((1L, 3L))) // not an edge
+    val none = ghostDel.limit(0)
+    val (g1, run, _) = dyn.applyBatch(g0, st0, none, ghostDel, prune = false)
+    assert(g1.nEdges === base.size)
+    val a = TestSpark.collectRanks(run.ranks)
+    val b = TestSpark.collectRanks(staticRun.ranks)
+    assert(Oracle.allclose(a, b, 1e-9))
+  }
+}
