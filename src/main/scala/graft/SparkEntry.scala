@@ -132,6 +132,34 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
     }),
 
+    // Same fixpoint through the partition-local CSR fast path — puts the
+    // CSR engine itself under the DuckDB hard signal.
+    "q_pagerank_csr_converged" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val y = EdgeOps.withSelfLoops(e, EdgeOps.vertices(e))
+      new PageRank(s, PagerankOptions(useCsr = true)).static(y).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // Warm-start dynamic loop under the hard signal: base graph = edges
+    // minus a deterministic slice, batch = that slice; Naive-dynamic
+    // (V2: warm init, full sweep) re-converges on y to the SAME fixpoint as
+    // the 100-round oracle over the full edge set — verifying the
+    // batch-apply + warm-start + convergence path with no DF truncation
+    // caveat (DF itself is covered by ScalaTest vs the in-memory oracle).
+    "q_pagerank_naive_dynamic" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val verts = EdgeOps.vertices(e)
+      val ins = e.where((col("src") + col("dst")) % 17 === 0)
+      val x = EdgeOps.withSelfLoops(
+        e.join(ins, Seq("src", "dst"), "left_anti"), verts)
+      val y = EdgeOps.withSelfLoops(e, verts)
+      val pr = new PageRank(s)
+      val prev = pr.static(x).ranks
+      pr.naiveDynamic(y, prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
     "q_pagerank_web_static" -> ((s, dir) => {
       val (dict, staged) = webGraph(s, 400L)
       val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged), dict.select("id"))
@@ -259,6 +287,21 @@ object SparkEntry {
        |  FROM edges e JOIN r$prev r ON r.id = e.src JOIN deg ON deg.src = e.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** Converged PageRank oracle: 100 unrolled MATERIALIZED power-iteration
+    * rounds over derivedEdges+self-loops — ≈ the fixpoint to ~1e-10, so any
+    * engine path that converges at L∞<1e-10 matches it at 6 dp. */
+  private lazy val convergedPrSql: String =
+    s"""WITH edges0 AS ($edgesCte),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
+       |edges AS MATERIALIZED (SELECT src, dst FROM edges0 UNION SELECT v, v FROM verts),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM verts),
+       |c AS MATERIALIZED (SELECT 0.15 / (SELECT n FROM n) AS c0),
+       |r0 AS MATERIALIZED (SELECT v AS id, 1.0 / (SELECT n FROM n) AS rank FROM verts),
+       |""".stripMargin +
+      (1 to 100).map(i => prRoundSql(i - 1, i)).mkString(",\n") +
+      "\nSELECT id, round(rank, 6) AS rank FROM r100 ORDER BY id"
+
   /** DuckDB-equivalent SQL for the exactly-SQL-expressible queries above.
     * Column names/aliases match the Spark side 1:1 (driver hashes values
     * after sorting columns by name). Sums are cast to BIGINT (DuckDB sums
@@ -349,17 +392,10 @@ object SparkEntry {
 
     // 100 unrolled power-iteration rounds ≈ fixpoint to ~1e-10 — matches the
     // Spark side's L∞<1e-10 converged run at 6 dp rounding.
-    "q_pagerank_converged" ->
-      (s"""WITH edges0 AS ($edgesCte),
-          |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
-          |edges AS MATERIALIZED (SELECT src, dst FROM edges0 UNION SELECT v, v FROM verts),
-          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
-          |n AS (SELECT count(*) AS n FROM verts),
-          |c AS MATERIALIZED (SELECT 0.15 / (SELECT n FROM n) AS c0),
-          |r0 AS MATERIALIZED (SELECT v AS id, 1.0 / (SELECT n FROM n) AS rank FROM verts),
-          |""".stripMargin
-        + (1 to 100).map(i => prRoundSql(i - 1, i)).mkString(",\n")
-        + "\nSELECT id, round(rank, 6) AS rank FROM r100 ORDER BY id"),
+    "q_pagerank_converged" -> convergedPrSql,
+    // same fixpoint, physical-strategy / warm-start variants on the Spark side
+    "q_pagerank_csr_converged" -> convergedPrSql,
+    "q_pagerank_naive_dynamic" -> convergedPrSql,
 
     // Raw-substring shingles: hashing shingles (Spark side) preserves set
     // equality, so Jaccard over raw 5-grams is the exact oracle.

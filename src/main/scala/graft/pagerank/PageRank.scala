@@ -48,11 +48,15 @@ final case class LinkState(links: DataFrame, degs: DataFrame, n: Long,
   *
   * Scale shape per superstep: the big edge table is cached hash-partitioned
   * by `src` and never moves; only the O(|V|) rank vector is exchanged (join
-  * on src), and the contribution aggregation map-side-combines before the
-  * final O(|V_active|) exchange by dst. Hub in-degree skew is absorbed by
-  * partial aggregation (each final key receives ≤ #partitions partial rows).
+  * on src), and raw contributions are exchanged by dst BEFORE aggregating
+  * (clustered keys → flat per-task hash maps). Hub in-degree skew is
+  * absorbed by the salted two-phase aggregation planned at [[buildLinks]]
+  * (no reduce key ever receives more than ~a quarter-partition of rows —
+  * the AQE-off PR session has no skew-join splitting to fall back on).
   * Frontiers are broadcast when small, so the frontier semi-join never
-  * re-shuffles the edge table.
+  * re-shuffles the edge table. The partition-local CSR fast path
+  * ([[CsrPageRank]], opts.useCsr) and the O(frontier) dynamic engine
+  * ([[CsrDynamic]]) are the physical accelerators of the same semantics.
   *
   * All graphs passed in must already carry self-loops on every vertex
   * ([[EdgeOps.withSelfLoops]]) — the reference driver's invariant that
