@@ -258,6 +258,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Typed multimodal metadata columns (kind routing + width/height/
+    // duration derivation) — the non-stub half of the media pipeline,
+    // exactly DuckDB-expressible.
+    "q_media_metadata" -> ((s, dir) =>
+      Multimodal.mediaFromDocuments(docs(s, dir))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")),
+
     "q_video_frames" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(docs(s, dir))
       Multimodal.sampleFrames(s, media, everyMs = 5000, maxFrames = 4).toDF()
@@ -417,6 +426,15 @@ object SparkEntry {
     // clamp(duration/everyMs, 1, maxFrames) with everyMs=5000, maxFrames=4 —
     // verifies the sampling/grouping pipeline (the per-frame decode is the
     // declared stub and carries no oracle).
+    "q_media_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+        |  CAST(doc_id % 30000 + 1000 AS INTEGER) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_video_frames" ->
       """SELECT doc_id,
         |  CAST(least(greatest((doc_id % 30000 + 1000) // 5000, 1), 4) AS BIGINT)
