@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.EdgeOps
 import graft.ingest.WebGraphFixture
 import graft.model.PagerankOptions
-import graft.pagerank.PageRank
+import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
 
 /** Benchmark main — prints ONE JSON line.
   *
@@ -18,11 +18,30 @@ import graft.pagerank.PageRank
   * (protocol in BASELINE.md; mirrors the reference's thread-doubling
   * scaling, /root/reference/README.md:20).
   *
-  * Throughput is measured over a fixed number of full supersteps (per-
-  * superstep work of static PR is iteration-invariant), after a warm-up
-  * run, matching the reference's repeat-averaging
-  * (/root/reference/inc/_utility.hxx:113-119). Convergence-to-1e-10 is
-  * reported separately (iterations + wall) at the 4N level.
+  * Protocol notes (round 3 — making the numbers trustworthy on a noisy
+  * single box):
+  *  - Scaling efficiency is the MEDIAN of per-PAIR ratios: each pair is an
+  *    (8-core run, 32-core run) measured back-to-back, so slow-hour box
+  *    noise hits both sides of a ratio instead of one (r1 recorded a bogus
+  *    1.37, r2 a bogus 0.578, from unpaired best-ofs). The fixture is
+  *    written to parquet once and re-read per session, so per-session setup
+  *    does not crowd out measurement.
+  *  - The dynamic experiment follows the reference loop exactly
+  *    (/root/reference/main.cxx:47-107): per batch, a FRESH static baseline
+  *    is run on the updated graph and every technique's L1 error is
+  *    measured against a high-precision oracle on that same graph
+  *    (main.cxx:85,55). One 1e-15 run serves as both (the 1e-10 crossing
+  *    wall/iters are recorded mid-run). Speedups are per-batch ratios —
+  *    baseline and technique share the same minutes-window — summarized by
+  *    their median.
+  *  - The dynamic engine measured is [[CsrDynamic]] (the PagerankOptions
+  *    .useCsr route of the public dynamicFrontier/Prune API, carried-state
+  *    form): O(frontier) supersteps, in-place CSR splice. The DataFrame-
+  *    superstep dynamic variants are correctness-verified (DuckDB oracles,
+  *    ScalaTest) but are not a sane dynamic engine at any scale — each of
+  *    their supersteps materializes O(|V|) rows across 4-5 jobs regardless
+  *    of frontier size (measured r2: DF 0.97-2.49× vs static, floored) —
+  *    so the bench measures them only when GRAFT_BENCH_DF_BATCHES > 0.
   */
 object Bench {
 
@@ -50,20 +69,30 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def arr(xs: Seq[Double], fmt: String = "%.3f"): String =
+    xs.map(v => fmt.format(v)).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Sized so per-superstep compute dominates scheduler fixed overhead at
-    // local[8] (≈6.4M edges) — the scaling-efficiency measurement is
-    // meaningless when a superstep is all task-launch latency.
+    // local[8] (≈62M edges, ≥30 s iteration phase) — the scaling-efficiency
+    // measurement is meaningless when a superstep is all task-launch latency.
     val benchPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "12000000").toLong
     val convergePages = sys.env.getOrElse("GRAFT_BENCH_CONVERGE_PAGES", "4000000").toLong
-    // 8 steps × 3 best-of repeats ≈ the cost of round-1's single 15-step
-    // shot, with far lower variance (BASELINE.md protocol step 2).
     val throughputSteps = sys.env.getOrElse("GRAFT_BENCH_STEPS", "8").toInt
+    val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "3").toInt
+    val weakPages = sys.env.getOrElse("GRAFT_BENCH_WEAK_PAGES",
+      (benchPages / 10).toString).toLong
 
     val qTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-
     val onlyScaling = sys.env.get("GRAFT_BENCH_ONLY_SCALING").contains("1")
 
     // ---- Phase 1: headline relational/text/graph queries on the sf dir ----
@@ -81,86 +110,100 @@ object Bench {
     }
 
     // ---- Phase 2: PageRank throughput at N (local[8]) and 4N (local[32]) --
-    // Both physical strategies are measured: the default DataFrame superstep
-    // (the scaling-efficiency evidence — its per-superstep work parallelizes
-    // cleanly across cores) and the partition-local CSR fast path
-    // (PagerankOptions.useCsr — ~4× the absolute throughput, but at this
-    // single-box scale its sub-second supersteps saturate the shared memory/
-    // shuffle bus before 32 cores, so its local core-scaling is flat; on a
-    // real multi-executor cluster the equivalent axis is nodes, each with
-    // its own bus — see BASELINE.md).
-    def pagerankThroughput(cores: Int, useCsr: Boolean): (Double, Double, Long) = {
-      val s = session(cores, forPagerank = true)
-      // warm-up on a small fixture (JIT/codegen warm; discarded) — warming
-      // on the full fixture would rebuild the 62M-edge cache twice.
+    // The fixture (with self-loops) is materialized to parquet ONCE so each
+    // measurement session pays a parquet scan, not a 74M-row generate+dedupe.
+    val fixtureDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-fixture").toString
+    val weakDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-weak").toString
+    locally {
+      val s = session(cpus, forPagerank = true)
+      def writeFixture(pages: Long, dir: String): Unit =
+        EdgeOps.withSelfLoops(
+          WebGraphFixture.edgesOnly(s, pages).toDF().select("src", "dst"),
+          s.range(pages).select(col("id")))
+          .write.mode("overwrite").parquet(dir)
+      writeFixture(benchPages, fixtureDir)
+      writeFixture(weakPages, weakDir)
+      // global JIT/codegen warmup (the JVM is shared by all sessions)
       val warmY = EdgeOps.withSelfLoops(
-        WebGraphFixture.edgesOnly(s, benchPages / 12).toDF().select("src", "dst"),
-        s.range(benchPages / 12).select(col("id")))
+        WebGraphFixture.edgesOnly(s, benchPages / 40).toDF().select("src", "dst"),
+        s.range(benchPages / 40).select(col("id")))
+      new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 2)).static(warmY)
       new PageRank(s, PagerankOptions(tolerance = 0.0, maxIterations = 2,
-        useCsr = useCsr)).static(warmY)
-      val staged = WebGraphFixture.edgesOnly(s, benchPages).toDF()
-      val verts = s.range(benchPages).select(col("id"))
-      val y = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts)
-        .cache()
+        useCsr = true)).static(warmY)
+    }
+
+    /** One measured throughput run: `throughputSteps` full supersteps on the
+      * parquet fixture (tolerance 0 = stop rule off, pure sweep). */
+    def throughputRun(cores: Int, useCsr: Boolean, dir: String)
+        : (Double, Double, Long) = {
+      val s = session(cores, forPagerank = true)
+      val y = s.read.parquet(dir).cache()
       val nEdges = y.count()
-      // measured: `repeats` runs of `throughputSteps` full supersteps each,
-      // BEST-OF taken (the reference averages over REPEAT_METHOD=5 runs,
-      // /root/reference/inc/_utility.hxx:113-119, main.cxx:23; best-of is
-      // the standard single-box answer to GC/page-cache interference —
-      // a single 15-step shot recorded 3.2-5.0 s/superstep run-to-run)
-      val repeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "3").toInt
-      val opts = PagerankOptions(tolerance = 0.0,
-        maxIterations = throughputSteps)
-      // the one-time links/CSR build is shared across repeats (init phase)
-      val secs =
+      val opts = PagerankOptions(tolerance = 0.0, maxIterations = throughputSteps)
+      val sec =
         if (!useCsr) {
           val pr = new PageRank(s, opts)
           val ls = pr.buildLinks(y)
-          (1 to repeats).map(_ =>
-            pr.static(y, Some(ls)).stats.computeTimeMs / 1e3)
+          pr.static(y, Some(ls)).stats.computeTimeMs / 1e3
         } else {
-          val c = new graft.pagerank.CsrPageRank(s, opts)
+          val c = new CsrPageRank(s, opts)
           val g = c.build(y)
-          (1 to repeats).map(_ => c.staticOnGraph(g).stats.computeTimeMs / 1e3)
+          c.staticOnGraph(g).stats.computeTimeMs / 1e3
         }
-      val sec = secs.min
-      val edgesPerSecPerStep = nEdges.toDouble * throughputSteps / sec
-      (edgesPerSecPerStep, sec, nEdges)
+      (nEdges.toDouble * throughputSteps / sec, sec, nEdges)
     }
 
-    val (thr8, sec8, nE) = pagerankThroughput(8, useCsr = false)
-    qTimes("pagerank_throughput_local8") = sec8
-    val (thr32, sec32, _) = pagerankThroughput(32, useCsr = false)
-    qTimes("pagerank_throughput_local32") = sec32
-    val efficiency = thr32 / (4.0 * thr8)
-    val (csr8, csrSec8, _) = pagerankThroughput(8, useCsr = true)
+    // paired 8/32 DataFrame measurements → median of per-pair efficiencies
+    val pairResults = (1 to pairs).map { i =>
+      val (thr8, sec8, _) = throughputRun(8, useCsr = false, fixtureDir)
+      val (thr32, sec32, nE) = throughputRun(32, useCsr = false, fixtureDir)
+      qTimes(s"pagerank_throughput_local8_p$i") = sec8
+      qTimes(s"pagerank_throughput_local32_p$i") = sec32
+      (thr8, thr32, thr32 / (4.0 * thr8), nE)
+    }
+    val nE = pairResults.head._4
+    val thr8Best = pairResults.map(_._1).max
+    val thr32Best = pairResults.map(_._2).max
+    val efficiency = median(pairResults.map(_._3))
+
+    // CSR fast path: absolute throughput at both core counts + the
+    // size-scaling point (fixed 32 cores, |E| × ~10) — the local-box
+    // evidence axis for the CSR engine, whose sub-second supersteps
+    // saturate the single shared memory bus before 32 cores.
+    val (csr8, csrSec8, _) = throughputRun(8, useCsr = true, fixtureDir)
+    val (csr32, csrSec32, _) = throughputRun(32, useCsr = true, fixtureDir)
+    val (csrSmall32, csrSmallSec, weakEdges) =
+      throughputRun(32, useCsr = true, weakDir)
     qTimes("pagerank_csr_local8") = csrSec8
-    val (csr32, csrSec32, _) = pagerankThroughput(32, useCsr = true)
     qTimes("pagerank_csr_local32") = csrSec32
+    qTimes("pagerank_csr_local32_small") = csrSmallSec
+    val csrSizeEff = csr32 / csrSmall32
 
     def scalingJson: String =
       s""""bench_pages":$benchPages,"bench_edges":$nE,""" +
-        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32.round},""" +
+        s""""throughput_local8":${thr8Best.round},"throughput_local32":${thr32Best.round},""" +
+        s""""eff_pairs":${arr(pairResults.map(_._3))},""" +
         f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
         s""""csr_throughput_local8":${csr8.round},"csr_throughput_local32":${csr32.round},""" +
-        f""""csr_speedup_vs_dataframe":${csr32 / thr32}%.2f"""
+        s""""csr_small_edges":$weakEdges,"csr_small_throughput_local32":${csrSmall32.round},""" +
+        f""""csr_size_scaling_eff":$csrSizeEff%.3f,""" +
+        f""""csr_speedup_vs_dataframe":${csr32 / thr32Best}%.2f"""
 
     if (onlyScaling) {
-      emit(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
+      emit(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32Best.round},""" +
         s""""unit":"edges/sec/superstep",$scalingJson}""")
       SparkSession.getActiveSession.foreach(_.stop())
       return
     }
 
-    // ---- Phase 3: multi-batch dynamic loop at 4N -------------------------
-    // The reference's experiment loop (/root/reference/main.cxx:47-107,
-    // main.sh:21: BATCH_LENGTH=100 insertion batches of batchFraction·|E|,
-    // ranks carried forward per technique): base graph = the edge stream
-    // minus nBatches tail slices of 1e-4·|E| each; per batch, DF and DF-P
-    // re-rank from their carried ranks over an INCREMENTALLY updated link
-    // state (PageRank.updateLinks — no O(|E|) rebuild per batch), and the
-    // static baseline is the converged run on the base graph.
+    // ---- Phase 3: the reference's dynamic batch experiment, CSR engine ----
+    // (/root/reference/main.cxx:47-107, main.sh:21: insertion batches of
+    // batchFraction·|E|, ranks carried forward per technique, per-batch
+    // fresh static baseline + 1e-100-style oracle on the updated graph.)
     val nBatches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "10").toInt
+    val oracleTol = 1e-15 // per-vertex error ≤ tol/(1−P) ⇒ L1 ≤ |V|·6.7e-15
     val s = session(cpus, forPagerank = true)
     val staged = WebGraphFixture.edgesOnly(s, convergePages).toDF().cache()
     val m = staged.count()
@@ -180,77 +223,81 @@ object Bench {
     val x0 = EdgeOps.withSelfLoops(
       staged.where(col("seq") < cuts(0)).select("src", "dst"), verts).cache()
 
+    // One DataFrame-superstep static converge on the base graph: the r1/r2-
+    // comparable wall number and the cross-engine speedup denominator.
     val pr = new PageRank(s)
-    var ls = pr.buildLinks(x0)
-    val (staticRun, tStaticX) = time { pr.static(x0, Some(ls)) }
-    qTimes("pagerank_static_converge_1e10") = tStaticX
+    val ls0 = pr.buildLinks(x0)
+    val (dfStaticRun, tDfStatic) = time { pr.static(x0, Some(ls0)) }
+    qTimes("pagerank_static_converge_1e10") = tDfStatic
 
-    // Per-technique rank registers (reference main.cxx:69-72,100-103).
-    // The DataFrame track is capped at dfBatches (its O(|V|)-per-superstep
-    // floor makes each batch expensive); the CSR dynamic track — the
-    // engine's O(frontier) path — runs ALL nBatches.
-    val dfBatches = math.min(nBatches,
-      sys.env.getOrElse("GRAFT_BENCH_DF_BATCHES", "2").toInt)
-    var prevDf = staticRun.ranks
-    var prevDfp = staticRun.ranks
-    val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
-    val dfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
-    var dfIters, dfpIters = 0
-    var xLinks = ls.links.select("src", "dst")
-    def batchIns(b: Int, existing: DataFrame): DataFrame = staged
-      .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
-      .select("src", "dst").dropDuplicates("src", "dst")
-      .join(existing, Seq("src", "dst"), "left_anti")
-    for (b <- 0 until dfBatches) {
-      val ins = batchIns(b, xLinks).cache()
-      val none = ins.limit(0)
-      val lsY = pr.updateLinks(ls, ins, none)
-      val yLinks = lsY.links.select("src", "dst")
-      val (dfRun, tDf) = time {
-        pr.dynamicFrontier(xLinks, yLinks, ins, none, prevDf, Some(lsY))
-      }
-      val (dfpRun, tDfp) = time {
-        pr.dynamicFrontierPrune(xLinks, yLinks, ins, none, prevDfp, Some(lsY))
-      }
-      dfSecs += tDf; dfpSecs += tDfp
-      dfIters += dfRun.stats.iterations; dfpIters += dfpRun.stats.iterations
-      prevDf = dfRun.ranks; prevDfp = dfpRun.ranks
-      ls = lsY; xLinks = yLinks
-      ins.unpersist()
-    }
-    val avgDf = dfSecs.sum / math.max(1, dfSecs.size)
-    val avgDfp = dfpSecs.sum / math.max(1, dfpSecs.size)
-    qTimes("pagerank_dynamic_frontier_converge") = avgDf
-    qTimes("pagerank_dfp_converge") = avgDfp
+    // Optional legacy DataFrame-superstep dynamic track (default OFF — the
+    // DataFrame superstep is floored at O(|V|)+4-5 jobs per superstep
+    // regardless of frontier; CsrDynamic is the engine for dynamic).
+    val dfBatches = sys.env.getOrElse("GRAFT_BENCH_DF_BATCHES", "0").toInt
 
-    // ---- Phase 4: CSR dynamic loop (O(frontier) supersteps) over ALL
-    // batches — the partition-local-CSR analog of the reference's headline
-    // DF/DF-P experiment.
-    val dyn = new graft.pagerank.CsrDynamic(s)
-    val csr = new graft.pagerank.CsrPageRank(s)
+    val dyn = new CsrDynamic(s)
+    val csr = new CsrPageRank(s)
+    val oracleCsr = new CsrPageRank(s, PagerankOptions(tolerance = oracleTol))
     val ((g0, csrStaticRun, st0), tCsrStatic) = time {
       val g = csr.build(x0)
       val (run, st) = dyn.staticWithState(g)
       (g, run, st)
     }
     qTimes("pagerank_csr_static_converge") = tCsrStatic
+
+    def batchIns(b: Int, existing: DataFrame): DataFrame = staged
+      .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
+      .select("src", "dst").dropDuplicates("src", "dst")
+      .join(existing, Seq("src", "dst"), "left_anti")
+
+    /** L1 distance between a carried state's ranks and aligned oracle rank
+      * blocks (same partitioner, same sorted srcs — one tiny job). */
+    def l1Err(st: org.apache.spark.rdd.RDD[CsrDynamic.CsrState],
+        oracle: org.apache.spark.rdd.RDD[Array[Double]]): Double =
+      st.zipPartitions(oracle) { (aIt, bIt) =>
+        val a = aIt.next().rank
+        val b = bIt.next()
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+        Iterator.single(s)
+      }.sum()
+
     var gDf = g0; var stDf = st0
     var gDfp = g0; var stDfp = st0
+    val statSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val oracleSecs = new scala.collection.mutable.ArrayBuffer[Double]
     val csrDfSecs = new scala.collection.mutable.ArrayBuffer[Double]
     val csrDfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
-    var csrDfIters, csrDfpIters = 0
-    // running edge set, only for the tidy-insertions anti-join
+    val csrDfComputeSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val csrDfpComputeSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val l1Df = new scala.collection.mutable.ArrayBuffer[Double]
+    val l1Dfp = new scala.collection.mutable.ArrayBuffer[Double]
+    var csrDfIters, csrDfpIters, statIters = 0
     var xEdges = x0
     for (b <- 0 until nBatches) {
       val ins = batchIns(b, xEdges).cache()
       ins.count()
       val none = ins.limit(0)
+      // techniques first (same minutes-window as their baseline below)
       val ((gDf2, csrDfRun, stDf2), tD) =
         time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
       csrDfSecs += tD; csrDfIters += csrDfRun.stats.iterations
+      csrDfComputeSecs += csrDfRun.stats.computeTimeMs / 1e3
       val ((gDfp2, csrDfpRun, stDfp2), tP) =
         time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
       csrDfpSecs += tP; csrDfpIters += csrDfpRun.stats.iterations
+      csrDfpComputeSecs += csrDfpRun.stats.computeTimeMs / 1e3
+      // fresh static baseline + oracle on the updated graph (one run: the
+      // 1e-10 crossing is the baseline, the 1e-15 tail is the oracle)
+      val ((_, oracleRanks, crossSecs, crossIts), tOracle) =
+        time(oracleCsr.staticDetailed(gDf2, crossTol = 1e-10))
+      statSecs += crossSecs
+      statIters += crossIts
+      oracleSecs += tOracle
+      l1Df += l1Err(stDf2, oracleRanks)
+      l1Dfp += l1Err(stDfp2, oracleRanks)
+      oracleRanks.unpersist(false)
       if (b > 0) { // b=0 inputs are the shared g0/st0
         gDf.blocks.unpersist(false); stDf.unpersist(false)
         gDfp.blocks.unpersist(false); stDfp.unpersist(false)
@@ -263,36 +310,80 @@ object Bench {
       xEdges = nextX
       ins.unpersist()
     }
-    val avgCsrDf = csrDfSecs.sum / math.max(1, csrDfSecs.size)
-    val avgCsrDfp = csrDfpSecs.sum / math.max(1, csrDfpSecs.size)
-    qTimes("pagerank_csr_df_converge") = avgCsrDf
-    qTimes("pagerank_csr_dfp_converge") = avgCsrDfp
+    val dfSpeedups = statSecs.zip(csrDfSecs).map { case (st, t) => st / t }
+    val dfpSpeedups = statSecs.zip(csrDfpSecs).map { case (st, t) => st / t }
+    val dfSpeedupMed = median(dfSpeedups.toSeq)
+    val dfpSpeedupMed = median(dfpSpeedups.toSeq)
+    qTimes("pagerank_csr_df_converge") = csrDfSecs.sum / math.max(1, csrDfSecs.size)
+    qTimes("pagerank_csr_dfp_converge") = csrDfpSecs.sum / math.max(1, csrDfpSecs.size)
+    qTimes("pagerank_csr_static_per_batch") = statSecs.sum / math.max(1, statSecs.size)
 
-    def arr(xs: Seq[Double]): String =
-      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // ---- Optional: legacy DataFrame-superstep dynamic track --------------
+    val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val dfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    var dfIters, dfpIters = 0
+    if (dfBatches > 0) {
+      var ls = ls0
+      var prevDf = dfStaticRun.ranks
+      var prevDfp = dfStaticRun.ranks
+      var xLinks = ls.links.select("src", "dst")
+      for (b <- 0 until math.min(dfBatches, nBatches)) {
+        val ins = batchIns(b, xLinks).cache()
+        val none = ins.limit(0)
+        val lsY = pr.updateLinks(ls, ins, none)
+        val yLinks = lsY.links.select("src", "dst")
+        val (dfRun, tDf) = time {
+          pr.dynamicFrontier(xLinks, yLinks, ins, none, prevDf, Some(lsY))
+        }
+        val (dfpRun, tDfp) = time {
+          pr.dynamicFrontierPrune(xLinks, yLinks, ins, none, prevDfp, Some(lsY))
+        }
+        dfSecs += tDf; dfpSecs += tDfp
+        dfIters += dfRun.stats.iterations; dfpIters += dfpRun.stats.iterations
+        prevDf = dfRun.ranks; prevDfp = dfpRun.ranks
+        ls = lsY; xLinks = yLinks
+        ins.unpersist()
+      }
+      qTimes("pagerank_dynamic_frontier_converge") = dfSecs.sum / dfSecs.size
+      qTimes("pagerank_dfp_converge") = dfpSecs.sum / dfpSecs.size
+    }
+
     val qs = qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val legacyDfJson =
+      if (dfBatches <= 0) ""
+      else
+        s""""df_batch_secs":${arr(dfSecs.toSeq)},""" +
+          s""""dfp_batch_secs":${arr(dfpSecs.toSeq)},""" +
+          f""""df_avg_iters":${dfIters.toDouble / math.max(1, dfSecs.size)}%.1f,""" +
+          f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, dfpSecs.size)}%.1f,"""
     val json =
-      s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32.round},""" +
+      s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32Best.round},""" +
         s""""unit":"edges/sec/superstep","queries":$qs,"sf":"$sfDir",""" +
         scalingJson + "," +
-        s""""static_converge_iters":${staticRun.stats.iterations},""" +
+        s""""dataframe_static_converge_secs":$tDfStatic,""" +
+        s""""static_converge_iters":${dfStaticRun.stats.iterations},""" +
         s""""n_batches":$nBatches,"batch_edges":$batchLen,""" +
-        f""""df_avg_iters":${dfIters.toDouble / math.max(1, dfBatches)}%.1f,""" +
-        f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, dfBatches)}%.1f,""" +
-        s""""df_batch_secs":${arr(dfSecs.toSeq)},""" +
-        s""""dfp_batch_secs":${arr(dfpSecs.toSeq)},""" +
-        f""""df_speedup_vs_static":${tStaticX / avgDf}%.2f,""" +
-        f""""dfp_speedup_vs_static":${tStaticX / avgDfp}%.2f,""" +
+        s""""csr_static_base_secs":$tCsrStatic,""" +
         s""""csr_static_converge_iters":${csrStaticRun.stats.iterations},""" +
-        f""""csr_df_avg_iters":${csrDfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
-        f""""csr_dfp_avg_iters":${csrDfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        s""""csr_static_batch_secs":${arr(statSecs.toSeq)},""" +
+        s""""csr_oracle_batch_secs":${arr(oracleSecs.toSeq)},""" +
+        f""""csr_static_avg_iters":${statIters.toDouble / math.max(1, nBatches)}%.1f,""" +
         s""""csr_df_batch_secs":${arr(csrDfSecs.toSeq)},""" +
         s""""csr_dfp_batch_secs":${arr(csrDfpSecs.toSeq)},""" +
-        f""""csr_df_speedup_vs_csr_static":${tCsrStatic / avgCsrDf}%.2f,""" +
-        f""""csr_dfp_speedup_vs_csr_static":${tCsrStatic / avgCsrDfp}%.2f,""" +
-        f""""csr_df_speedup_vs_df_static":${tStaticX / avgCsrDf}%.2f,""" +
-        f""""csr_dfp_speedup_vs_df_static":${tStaticX / avgCsrDfp}%.2f}"""
+        s""""csr_df_compute_secs":${arr(csrDfComputeSecs.toSeq)},""" +
+        s""""csr_dfp_compute_secs":${arr(csrDfpComputeSecs.toSeq)},""" +
+        f""""csr_df_avg_iters":${csrDfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        f""""csr_dfp_avg_iters":${csrDfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
+        s""""l1_err_df":${arr(l1Df.toSeq, "%.3e")},""" +
+        s""""l1_err_dfp":${arr(l1Dfp.toSeq, "%.3e")},""" +
+        s""""csr_df_speedup_per_batch":${arr(dfSpeedups.toSeq, "%.2f")},""" +
+        s""""csr_dfp_speedup_per_batch":${arr(dfpSpeedups.toSeq, "%.2f")},""" +
+        f""""csr_df_speedup_vs_csr_static":$dfSpeedupMed%.2f,""" +
+        f""""csr_dfp_speedup_vs_csr_static":$dfpSpeedupMed%.2f,""" +
+        legacyDfJson +
+        f""""csr_df_speedup_vs_df_static":${tDfStatic / median(csrDfSecs.toSeq)}%.2f,""" +
+        f""""csr_dfp_speedup_vs_df_static":${tDfStatic / median(csrDfpSecs.toSeq)}%.2f}"""
     emit(json)
     s.stop()
   }

@@ -44,6 +44,26 @@ object SparkEntry {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
         col("label"))
 
+  /** Deterministic base/batch split of the derived graph for the dynamic-
+    * variant queries: x = edges minus a slice (+ self-loops on the full
+    * vertex set), y = all edges (+ self-loops), insertions = the slice.
+    * The vertex universe is identical in x and y (reference eager-universe
+    * contract, /root/reference/inc/snap.hxx:133). */
+  private def dynamicSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = derivedEdges(s, dir)
+    val verts = EdgeOps.vertices(e)
+    val ins = e.where((col("src") + col("dst")) % 17 === 0)
+    val x = EdgeOps.withSelfLoops(
+      e.join(ins, Seq("src", "dst"), "left_anti"), verts)
+    val y = EdgeOps.withSelfLoops(e, verts)
+    (x, y, ins)
+  }
+
+  private def tightDynOpts(useCsr: Boolean = false): PagerankOptions =
+    PagerankOptions(frontierTolerance = 1e-12, pruneTolerance = 1e-12,
+      useCsr = useCsr)
+
   /** Web fixture graph (pages → links → ids), small scale for Verify. */
   private def webGraph(s: SparkSession, pageCount: Long): (DataFrame, DataFrame) = {
     val pages = WebGraphFixture.pages(s, pageCount).toDF()
@@ -148,15 +168,50 @@ object SparkEntry {
     // batch-apply + warm-start + convergence path with no DF truncation
     // caveat (DF itself is covered by ScalaTest vs the in-memory oracle).
     "q_pagerank_naive_dynamic" -> ((s, dir) => {
-      val e = derivedEdges(s, dir)
-      val verts = EdgeOps.vertices(e)
-      val ins = e.where((col("src") + col("dst")) % 17 === 0)
-      val x = EdgeOps.withSelfLoops(
-        e.join(ins, Seq("src", "dst"), "left_anti"), verts)
-      val y = EdgeOps.withSelfLoops(e, verts)
+      val (x, y, _) = dynamicSplit(s, dir)
       val pr = new PageRank(s)
       val prev = pr.static(x).ranks
       pr.naiveDynamic(y, prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // DF / DT / DF-P under the DuckDB hard signal (same base/batch split as
+    // q_pagerank_naive_dynamic): frontier/prune tolerances tightened to
+    // 1e-12 so the frontier-truncation error (≈ tol·rank/(1−P)) sits orders
+    // below the 5e-7 rounding margin — every variant re-converges to the
+    // SAME fixpoint as the 200-round power-iteration oracle.
+    "q_pagerank_dynamic_frontier" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts())
+      val prev = pr.static(x).ranks
+      pr.dynamicFrontier(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    "q_pagerank_dynamic_traversal" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts())
+      val prev = pr.static(x).ranks
+      pr.dynamicTraversal(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    "q_pagerank_dfp" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts())
+      val prev = pr.static(x).ranks
+      pr.dynamicFrontierPrune(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // The same Dynamic Frontier run routed through the partition-local CSR
+    // engine (PagerankOptions.useCsr → CsrDynamic) — puts the O(frontier)
+    // dynamic fast path itself under the hard signal.
+    "q_pagerank_csr_frontier" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts(useCsr = true))
+      val prev = pr.static(x).ranks
+      pr.dynamicFrontier(x, y, ins, ins.limit(0), prev).ranks
         .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
     }),
 
@@ -228,9 +283,11 @@ object SparkEntry {
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           (round(Ann.cosine(col("embedding"), col("qvec")), 6) + lit(0.0)).as("cos_r"))
-      val w = Window.partitionBy("qid").orderBy(desc("cos_r"), asc("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5).orderBy("qid", "rank")
+      // bounded per-partition top-k (no per-qid global window) — Ann.topK
+      Ann.topK(scored, 5, "cos_r")
+        .select(col("qid"), col("vec_id"), col("cos_r"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
@@ -296,9 +353,12 @@ object SparkEntry {
        |  FROM edges e JOIN r$prev r ON r.id = e.src JOIN deg ON deg.src = e.src
        |  GROUP BY e.dst)""".stripMargin
 
-  /** Converged PageRank oracle: 100 unrolled MATERIALIZED power-iteration
-    * rounds over derivedEdges+self-loops — ≈ the fixpoint to ~1e-10, so any
-    * engine path that converges at L∞<1e-10 matches it at 6 dp. */
+  /** Converged PageRank oracle: 200 unrolled MATERIALIZED power-iteration
+    * rounds over derivedEdges+self-loops. Residual mass after k rounds is
+    * ~0.85^k: 100 rounds leaves ~9e-8 — close enough to flip a 6-dp digit on
+    * a rank near a 0.5e-6 rounding boundary; 200 rounds leaves ~8e-15, so
+    * the oracle matches any L∞<1e-10-converged engine path at 6 dp with
+    * orders of margin. */
   private lazy val convergedPrSql: String =
     s"""WITH edges0 AS ($edgesCte),
        |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
@@ -308,8 +368,8 @@ object SparkEntry {
        |c AS MATERIALIZED (SELECT 0.15 / (SELECT n FROM n) AS c0),
        |r0 AS MATERIALIZED (SELECT v AS id, 1.0 / (SELECT n FROM n) AS rank FROM verts),
        |""".stripMargin +
-      (1 to 100).map(i => prRoundSql(i - 1, i)).mkString(",\n") +
-      "\nSELECT id, round(rank, 6) AS rank FROM r100 ORDER BY id"
+      (1 to 200).map(i => prRoundSql(i - 1, i)).mkString(",\n") +
+      "\nSELECT id, round(rank, 6) AS rank FROM r200 ORDER BY id"
 
   /** DuckDB-equivalent SQL for the exactly-SQL-expressible queries above.
     * Column names/aliases match the Spark side 1:1 (driver hashes values
@@ -399,12 +459,18 @@ object SparkEntry {
         + (1 to 4).map(i => lpRoundSql(s"r${i - 1}", i)).mkString(",\n")
         + "\nSELECT id, label FROM r4 ORDER BY id"),
 
-    // 100 unrolled power-iteration rounds ≈ fixpoint to ~1e-10 — matches the
+    // 200 unrolled power-iteration rounds ≈ fixpoint to ~8e-15 — matches the
     // Spark side's L∞<1e-10 converged run at 6 dp rounding.
     "q_pagerank_converged" -> convergedPrSql,
-    // same fixpoint, physical-strategy / warm-start variants on the Spark side
+    // same fixpoint, physical-strategy / warm-start / frontier variants on
+    // the Spark side (DF/DT/DF-P truncation tolerances tightened to 1e-12,
+    // so all re-converge to the identical fixpoint)
     "q_pagerank_csr_converged" -> convergedPrSql,
     "q_pagerank_naive_dynamic" -> convergedPrSql,
+    "q_pagerank_dynamic_frontier" -> convergedPrSql,
+    "q_pagerank_dynamic_traversal" -> convergedPrSql,
+    "q_pagerank_dfp" -> convergedPrSql,
+    "q_pagerank_csr_frontier" -> convergedPrSql,
 
     // Raw-substring shingles: hashing shingles (Spark side) preserves set
     // equality, so Jaccard over raw 5-grams is the exact oracle.

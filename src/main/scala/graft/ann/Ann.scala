@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -29,6 +28,31 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** Per-query top-k over a scored (qid, vec_id, <scoreCol>) frame WITHOUT
+    * a per-qid window: a `row_number() over (partition by qid)` funnels
+    * every scored corpus row of a query through ONE reduce partition — a
+    * full-corpus single-key shuffle per query at scale. Instead: bounded
+    * per-partition top-k (map-side `slice(sort_array(collect_list(...)))`
+    * over (qid, physical partition) — each group's rows are entirely local,
+    * so only ≤ k rows per (qid, partition) ever shuffle), then a tiny final
+    * merge over ≤ parts·k rows per query. Ordering: score desc, vec_id asc
+    * (the negated-id struct field makes the lexicographic desc sort break
+    * ties ascending). Output: (qid, vec_id, <scoreCol>, rank 1..k). */
+  def topK(scored: DataFrame, k: Int, scoreCol: String = "cos"): DataFrame = {
+    val item = struct(col(scoreCol), (-col("vec_id")).as("negid"), col("vec_id"))
+    val partial = scored
+      .withColumn("part", spark_partition_id())
+      .groupBy("qid", "part")
+      .agg(slice(sort_array(collect_list(item), asc = false), 1, k).as("top"))
+    partial.select(col("qid"), explode(col("top")).as("t"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(col("t")), asc = false), 1, k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), col("t").getField("vec_id").as("vec_id"),
+        col("t").getField(scoreCol).as(scoreCol),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors of each query.
     * @param corpus  (vec_id, embedding)
     * @param queries (qid, qvec) — small enough to broadcast
@@ -39,8 +63,7 @@ object Ann {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine(col("embedding"), col("qvec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, k, "cos")
   }
 
   /** Seeded random hyperplane for bit i of table t: each component is a
@@ -90,8 +113,7 @@ object Ann {
       .dropDuplicates("qid", "vec_id")
     val scored = cands.select(col("qid"), col("vec_id"),
       cosine(col("embedding"), col("qvec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, k, "cos")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed

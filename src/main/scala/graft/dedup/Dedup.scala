@@ -27,16 +27,26 @@ object Dedup {
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // The over-cap bucket set is count-bounded (≤ |corpus|/maxBucket keys) —
+    // collect it once into a LOCAL relation instead of caching a DataFrame
+    // that would leak in long-lived sessions (one leaked cache entry per
+    // minhashLsh/simhashPairs/nearDupPairs call otherwise).
     val over = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bn")).where(col("bn") > maxBucket)
-      .cache()
-    val stats = over.agg(count(lit(1)).as("buckets"),
-      coalesce(sum(col("bn")), lit(0L)).as("rows")).collect()(0)
-    if (stats.getLong(0) > 0)
-      log.warn(s"$what: dropped ${stats.getLong(0)} LSH bucket(s) over " +
-        s"$maxBucket rows (${stats.getLong(1)} rows total) from candidate " +
-        "generation")
-    banded.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+      .select(keys.map(col) :+ col("bn"): _*)
+    val overRows = over.collect()
+    if (overRows.isEmpty) return banded
+    val dropped = overRows.map(_.getLong(keys.size)).sum
+    log.warn(s"$what: dropped ${overRows.length} LSH bucket(s) over " +
+      s"$maxBucket rows ($dropped rows total) from candidate generation")
+    val spark = banded.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      over.schema.fields.take(keys.size))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(overRows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(keys.size))): _*),
+      keySchema)
+    banded.join(broadcast(local), keys, "left_anti")
   }
 
   /** Exact dedup: keep the smallest doc_id per identical text. Grouping by
@@ -100,10 +110,15 @@ object Dedup {
     require(k % bands == 0)
     val rows = k / bands
     val sig = minhash(documents, n, k).persist(StorageLevel.MEMORY_AND_DISK)
+    // Band key = xxhash64 folded over the band's minhash slice NUMERICALLY
+    // (a string render of the slice would materialize per-row garbage just
+    // to feed the hash). Same bucketing semantics: equal slices ⇒ equal
+    // keys; cross-band collisions are keyed apart by seeding with `bnd`.
     val banded0 = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(bnd, slice(col("sig"), bnd * rows + 1, lit(rows))
-            .cast("string")))).as(Seq("band", "bucket")))
+          bnd => aggregate(slice(col("sig"), bnd * rows + 1, lit(rows)),
+            xxhash64(bnd), (acc, x) => xxhash64(acc, x))))
+          .as(Seq("band", "bucket")))
     val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket,
       "minhashLsh")
     val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"),

@@ -92,15 +92,28 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
     * the batch loop's base-graph step. */
   def staticWithState(g: CsrGraph): (PagerankRun, RDD[CsrState]) = {
     val run = new CsrPageRank(spark, opts).staticOnGraph(g)
+    (run, stateFromRanks(g, run.ranks))
+  }
+
+  /** Align a (id, rank) DataFrame to the graph's partition-local blocks and
+    * derive the carried dynamic state (rank, exact S, clear flags). Vertices
+    * of `g` absent from `prevRanks` warm-start at 0.0 — the reference's
+    * pagerankInitializeRanksFrom copies q[v], which is 0 for previously-
+    * absent ids (/root/reference/inc/pagerank.hxx:287-295, SURVEY.md §7.4
+    * R3). This is the entry point for routing the DataFrame-facing dynamic
+    * variants (PagerankOptions.useCsr) through this engine. */
+  def stateFromRanks(g: CsrGraph, prevRanks: org.apache.spark.sql.DataFrame)
+      : RDD[CsrState] = {
     val parts = g.vCounts.length
-    val ranks: RDD[Array[Double]] = run.ranks.rdd
+    val ranks: RDD[Array[Double]] = prevRanks.select("id", "rank").rdd
       .map(r => (r.getLong(0), r.getDouble(1)))
       .partitionBy(new HashPartitioner(parts))
       .zipPartitions(g.blocks, preservesPartitioning = true) { (rIt, bIt) =>
         val b = bIt.next()
         val arr = new Array[Double](b.srcs.length)
         rIt.foreach { case (id, rk) =>
-          arr(java.util.Arrays.binarySearch(b.srcs, id)) = rk
+          val i = java.util.Arrays.binarySearch(b.srcs, id)
+          if (i >= 0) arr(i) = rk
         }
         Iterator.single(arr)
       }
@@ -113,7 +126,55 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
     }
     state.persist(StorageLevel.MEMORY_AND_DISK).count()
     ranks.unpersist(false)
-    (run, state)
+    state
+  }
+
+  /** Resolve a seed-id DataFrame to packed per-partition mark messages —
+    * the DF initial marking (fm) delivered as the first round's traffic. */
+  private def marksFromIds(g: CsrGraph, ids: org.apache.spark.sql.DataFrame)
+      : RDD[(Int, Msg)] = {
+    val parts = g.vCounts.length
+    ids.select("id").rdd.map(r => (r.getLong(0), ()))
+      .partitionBy(new HashPartitioner(parts))
+      .zipPartitions(g.blocks, preservesPartitioning = false) { (iIt, bIt) =>
+        val b = bIt.next()
+        val p = org.apache.spark.TaskContext.getPartitionId()
+        val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+        iIt.foreach { case (id, _) =>
+          val i = java.util.Arrays.binarySearch(b.srcs, id)
+          if (i < 0) throw new CsrDynamic.UniverseGrowthRequired(
+            s"seed vertex $id outside the frozen vertex universe — rebuild " +
+              "the CSR graph over the grown edge set (see scaladoc)")
+          buf += i
+        }
+        val arr = buf.result()
+        if (arr.isEmpty) Iterator.empty
+        else Iterator.single(
+          (p, (Array.empty[Int], Array.empty[Double], arr): Msg))
+      }
+  }
+
+  /** One dynamic run over an already-updated graph: warm state + explicit
+    * seed marking (the one-shot form of [[applyBatch]], used by the
+    * PagerankOptions.useCsr routing where the batch is already merged into
+    * `g` by the caller). Flags start CLEARED — the reference allocates a
+    * fresh affected vector per invocation (inc/pagerank.hxx:683). */
+  def runFromSeeds(g: CsrGraph, state: RDD[CsrState],
+      seeds: org.apache.spark.sql.DataFrame, prune: Boolean)
+      : (PagerankRun, RDD[CsrState]) = {
+    val t0 = System.nanoTime()
+    val parts = g.vCounts.length
+    val marks = marksFromIds(g, seeds).partitionBy(ip(parts))
+    val cur0 = state.zipPartitions(marks, preservesPartitioning = true) {
+      (stIt, mIt) =>
+        val st0 = stIt.next()
+        // fresh frontier per invocation; rank/S arrays are shared (the
+        // superstep's copy-on-write clone protects the cached originals)
+        val st = CsrState(st0.rank, st0.s, new Array[Boolean](st0.rank.length))
+        Iterator.single((st, mIt.toArray))
+    }
+    cur0.persist(StorageLevel.MEMORY_AND_DISK).count()
+    runLoop(g, cur0, prune, t0, System.nanoTime())
   }
 
   /** Splice a tidied batch into the CSR graph and run DF / DF-P from the
@@ -143,7 +204,10 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
         val p = org.apache.spark.TaskContext.getPartitionId()
         eIt.map { case (dst, (src, isDel)) =>
           val di = java.util.Arrays.binarySearch(b.srcs, dst)
-          require(di >= 0, s"batch dst $dst outside the vertex universe")
+          if (di < 0) throw new UniverseGrowthRequired(
+            s"batch dst $dst outside the frozen vertex universe — grow: add " +
+              "self-loops for novel vertices and re-freeze (see " +
+              "UniverseGrowthRequired scaladoc)")
           (homePart(src, parts), (src, isDel, p, di))
         }
       }
@@ -173,10 +237,23 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
     }
     cur.persist(StorageLevel.MEMORY_AND_DISK).count()
     spliced.unpersist(false)
-    val t1 = System.nanoTime()
+    val (run, finalState) = runLoop(newG, cur, prune, t0, System.nanoTime())
+    (newG, run, finalState)
+  }
 
-    // ---------------- superstep loop: ONE job per superstep ----------------
-    val c0 = (1 - opts.damping) / newG.n
+  /** The superstep loop: ONE job per superstep. `cur0` pairs each
+    * partition's state (flags CLEARED — fresh frontier per invocation,
+    * matching the reference's per-call affected vector,
+    * /root/reference/inc/pagerank.hxx:683) with the first round's outgoing
+    * messages (S corrections + initial DF marking). */
+  private def runLoop(g: CsrGraph,
+      cur0: RDD[(CsrState, Array[(Int, Msg)])], prune: Boolean,
+      t0: Long, t1: Long): (PagerankRun, RDD[CsrState]) = {
+    val sc = spark.sparkContext
+    val parts = g.vCounts.length
+    val vc = sc.broadcast(g.vCounts)
+    var cur = cur0
+    val c0 = (1 - opts.damping) / g.n
     val damp = opts.damping
     val fTol = opts.frontierTolerance
     val pTol = opts.pruneTolerance
@@ -190,7 +267,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
       sc.register(resAcc, s"dyn_res_$iter")
       sc.register(activeAcc, s"dyn_active_$iter")
       val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
-      val nxt = cur.map(_._1).zipPartitions(msgs, newG.blocks,
+      val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
         // copy-on-write: the incoming state objects live in the previous
         // RDD's cache — mutating them in place would corrupt the cached
@@ -261,20 +338,46 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
     val t3 = System.nanoTime()
 
     import spark.implicits._
-    val finalState = cur.map(_._1)
+    // Fold the terminal round's in-flight S-deltas into the carried state —
+    // dropping them would let the "exact S" invariant drift by up to
+    // |final frontier|·tolerance per batch, compounding across long streams.
+    // One cheap extra job; flags/ranks are shared (not mutated).
+    val termMsgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
+    val finalState = cur.map(_._1).zipPartitions(termMsgs,
+      preservesPartitioning = true) { (stIt, mIt) =>
+      val st0 = stIt.next()
+      val st = CsrState(st0.rank, st0.s.clone(), st0.flag)
+      mIt.foreach { case (_, (idxs, deltas, _)) =>
+        var j = 0
+        while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
+      }
+      Iterator.single(st)
+    }
     finalState.persist(StorageLevel.MEMORY_AND_DISK).count()
-    val out = newG.blocks.zipPartitions(finalState,
+    val out = g.blocks.zipPartitions(finalState,
       preservesPartitioning = false) { (bIt, stIt) =>
       bIt.next().srcs.iterator.zip(stIt.next().rank.iterator)
     }.toDF("id", "rank")
     cur.unpersist(false)
     val run = PagerankRun(out,
       PagerankStats(iter, 0.0, (t1 - t0) / 1e6, (t3 - t1) / 1e6, residual))
-    (newG, run, finalState)
+    (run, finalState)
   }
 }
 
 object CsrDynamic {
+
+  /** Thrown when a batch/seed touches a vertex outside the frozen universe.
+    * The CSR engine's universe is fixed at freeze time (the reference's
+    * eager-universe contract, /root/reference/inc/snap.hxx:133); the
+    * documented GROWTH POLICY is: catch this, add self-loops for the novel
+    * vertices to the edge set, re-freeze (CsrPageRank.build on the grown
+    * graph — N and the teleport term C0 change, so a full warm re-rank is
+    * the correct semantics), and resume dynamic batches from the new
+    * universe. graft.streaming.IncrementalPageRank implements exactly this
+    * fallback for mid-stream novel vertices. */
+  final class UniverseGrowthRequired(msg: String)
+      extends RuntimeException(msg)
 
   /** Per-partition loop state, aligned to the CSR block's vertex array. */
   final case class CsrState(rank: Array[Double], s: Array[Double],
@@ -360,15 +463,26 @@ object CsrDynamic {
     val delBy = new java.util.HashMap[Int, java.util.HashSet[java.lang.Long]]()
     batch.foreach { case (_, (src, isDel, dp, di)) =>
       val i = java.util.Arrays.binarySearch(b.srcs, src)
-      require(i >= 0, s"batch src $src outside the vertex universe")
+      if (i < 0) throw new UniverseGrowthRequired(
+        s"batch src $src outside the frozen vertex universe — grow: add " +
+          "self-loops for novel vertices and re-freeze (see " +
+          "UniverseGrowthRequired scaladoc)")
       val key = pack(dp, di)
       if (isDel) delBy.computeIfAbsent(i, _ => new java.util.HashSet[java.lang.Long]())
         .add(key)
       else insBy.computeIfAbsent(i, _ => new java.util.ArrayList[Long]())
         .add(key)
     }
+    // Flags are CLEARED for the new run (fresh per-invocation affected
+    // vector, /root/reference/inc/pagerank.hxx:683) — carrying the previous
+    // batch's converged frontier forward would grow the DF frontier
+    // monotonically across batches until every superstep is a full sweep.
+    // rank/S arrays are shared, never mutated here (the superstep's
+    // copy-on-write clone protects the cached originals).
+    def cleared(state: CsrState): CsrState =
+      CsrState(state.rank, state.s, new Array[Boolean](state.rank.length))
     if (insBy.isEmpty && delBy.isEmpty)
-      return (b, st, Array.empty)
+      return (b, cleared(st), Array.empty)
 
     val n = b.srcs.length
     val newOffsets = new Array[Int](n + 1)
@@ -437,6 +551,6 @@ object CsrDynamic {
     }
     newOffsets(n) = w
     val nb = CsrBlock(b.srcs, newInv, newOffsets, outP.result(), outI.result())
-    (nb, st, emitPacked(patch, marks, parts).toArray)
+    (nb, cleared(st), emitPacked(patch, marks, parts).toArray)
   }
 }

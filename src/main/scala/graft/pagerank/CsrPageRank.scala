@@ -157,14 +157,31 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
     staticOnGraph(g, t0)
   }
 
-  def staticOnGraph(g: CsrGraph, t0: Long = System.nanoTime()): PagerankRun = {
+  def staticOnGraph(g: CsrGraph, t0: Long = System.nanoTime()): PagerankRun =
+    staticDetailed(g, crossTol = 0.0, t0)._1
+
+  /** [[staticOnGraph]] plus (a) the raw per-partition rank blocks (for
+    * cheap aligned L1 comparisons) and (b) the wall/iterations at the FIRST
+    * crossing of `crossTol`. One high-precision run thus serves as BOTH the
+    * timed baseline at `crossTol` AND the reference-protocol oracle
+    * (/root/reference/main.cxx:85 re-runs the 1e-100 static oracle on every
+    * updated graph; the crossing time is exactly what a `crossTol`-tolerance
+    * run would have cost, because the iteration sequence is identical).
+    * Returns (run, rankBlocks, crossSecs, crossIters); cross fields are -1
+    * when never crossed (or crossTol == 0). */
+  def staticDetailed(g: CsrGraph, crossTol: Double,
+      t0: Long = System.nanoTime())
+      : (PagerankRun, RDD[Array[Double]], Double, Int) = {
     val sc = spark.sparkContext
-    val parts = sc.defaultParallelism
+    // The graph carries its own partition count — a CsrGraph built under a
+    // different parallelism setting must still sweep correctly.
+    val parts = g.vCounts.length
     val ip = new IndexPartitioner(parts)
     if (g.n == 0) {
       import spark.implicits._
-      return PagerankRun(Seq.empty[(Long, Double)].toDF("id", "rank"),
-        PagerankStats(0, 0, 0, 0, 0.0))
+      return (PagerankRun(Seq.empty[(Long, Double)].toDF("id", "rank"),
+        PagerankStats(0, 0, 0, 0, 0.0)),
+        sc.emptyRDD[Array[Double]], -1.0, -1)
     }
     val n = g.n
     val c0 = (1 - P) / n
@@ -183,6 +200,8 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
 
     var iter = 0
     var residual = Double.MaxValue
+    var crossIters = -1
+    var crossSecs = -1.0
     val measureResidual = opts.tolerance > 0
     // locals only in the task closures — capturing `P`/`opts` would drag
     // `this` (and the SparkSession) into the serialized task
@@ -237,6 +256,10 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
       ranks.unpersist(false)
       ranks = next
       iter += 1
+      if (crossIters < 0 && crossTol > 0 && residual < crossTol) {
+        crossIters = iter
+        crossSecs = (System.nanoTime() - t1) / 1e9
+      }
     }
 
     val t3 = System.nanoTime()
@@ -247,8 +270,9 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
         val r = rIt.next()
         b.srcs.iterator.zip(r.iterator)
     }.toDF("id", "rank")
-    PagerankRun(out,
-      PagerankStats(iter, (t1 - t0) / 1e6, 0.0, (t3 - t1) / 1e6, residual))
+    (PagerankRun(out,
+      PagerankStats(iter, (t1 - t0) / 1e6, 0.0, (t3 - t1) / 1e6, residual)),
+      ranks, crossSecs, crossIters)
   }
 
 }

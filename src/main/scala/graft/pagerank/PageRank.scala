@@ -113,6 +113,9 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
   def dynamicFrontier(xEdges: DataFrame, yEdges: DataFrame,
       insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
       state: Option[LinkState] = None): PagerankRun = {
+    if (opts.useCsr)
+      return csrDynamicRun(xEdges, yEdges, insertions, deletions, prevRanks,
+        prune = false)
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
     run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandMonotone,
       state = state)
@@ -129,9 +132,30 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
   def dynamicFrontierPrune(xEdges: DataFrame, yEdges: DataFrame,
       insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
       state: Option[LinkState] = None): PagerankRun = {
+    if (opts.useCsr)
+      return csrDynamicRun(xEdges, yEdges, insertions, deletions, prevRanks,
+        prune = true)
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
     run(yEdges, Some(prevRanks), FrontierFixed(seeds), ExpandPrune,
       pruneKernel = true, state = state)
+  }
+
+  /** PagerankOptions.useCsr routing for the dynamic-frontier variants: the
+    * one-shot form of the [[CsrDynamic]] engine — freeze y, align the warm
+    * ranks (+exact S), deliver the DF initial marking as the first round's
+    * messages, run the O(frontier) push loop. Batch loops that carry CSR
+    * state across batches should call [[CsrDynamic.applyBatch]] directly
+    * (splice instead of re-freeze); results are identical
+    * (CsrDynamicSpec). */
+  private def csrDynamicRun(xEdges: DataFrame, yEdges: DataFrame,
+      insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
+      prune: Boolean): PagerankRun = {
+    val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
+    val g = new CsrPageRank(spark, opts).build(yEdges)
+    val dyn = new CsrDynamic(spark, opts)
+    val state = dyn.stateFromRanks(g, prevRanks)
+    val (res, _) = dyn.runFromSeeds(g, state, seeds, prune)
+    res
   }
 
   // ------------------------------------------------------------- link state
@@ -253,12 +277,13 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     * auto-marked. */
   def frontierSeeds(xEdges: DataFrame, yEdges: DataFrame,
       insertions: DataFrame, deletions: DataFrame): DataFrame = {
-    // The batch-src side is O(|batch|) — broadcast it explicitly (the PR
-    // session runs AQE-off, so Catalyst would otherwise shuffle the |E|-row
-    // edge table for this semi-join on unknown stats).
+    // The batch-src side is O(|batch|) by contract — ALWAYS broadcast it
+    // (the PR session runs AQE-off, so Catalyst would otherwise shuffle the
+    // |E|-row edge table for this semi-join on unknown stats; sizing the
+    // hint with a count() would cost two extra jobs per dynamic run).
     def outNbrs(edges: DataFrame, srcs: DataFrame): DataFrame = {
       val s = srcs.select(col("src")).distinct()
-      edges.join(maybeBroadcast(s, s.count()), Seq("src"), "left_semi")
+      edges.join(broadcast(s), Seq("src"), "left_semi")
         .select(col("dst").as("id"))
     }
     outNbrs(xEdges, deletions).union(outNbrs(yEdges, insertions)).distinct()

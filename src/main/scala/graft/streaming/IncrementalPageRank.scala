@@ -49,6 +49,9 @@ class IncrementalPageRank(spark: SparkSession,
   @volatile private var edges: DataFrame = _
   @volatile private var ranks: DataFrame = _
   @volatile private var batchesApplied: Int = 0
+  /** Current vertex universe — starts at `vertexUniverse` and GROWS when a
+    * batch introduces novel endpoints (see [[growUniverse]]). */
+  @volatile private var universe: DataFrame = vertexUniverse
 
   def currentRanks: DataFrame = ranks
   def currentEdges: DataFrame = edges
@@ -60,28 +63,61 @@ class IncrementalPageRank(spark: SparkSession,
     * `op = 'del'` column are deletions; everything else inserts. */
   private def split(batch: DataFrame): (DataFrame, DataFrame) = {
     val b = batch
+    // NULL op = insert (a plain (src,dst,seq) file read through the
+    // op-aware stream schema must behave exactly like the op-less path).
     if (b.columns.contains("op"))
-      (b.where(col("op") =!= "del").select("src", "dst"),
+      (b.where(coalesce(col("op"), lit("ins")) =!= "del").select("src", "dst"),
         b.where(col("op") === "del").select("src", "dst"))
     else (b.select("src", "dst"), b.limit(0).select("src", "dst"))
   }
 
-  /** Apply one batch (insertions + optional deletions) to the running state. */
+  /** Grow the universe by the batch's novel endpoints. Returns true when it
+    * grew. Scale shape: the batch side is O(|batch|) and broadcast on BOTH
+    * scans of the big universe table — no |V|-sized shuffle. */
+  private def growUniverse(ins: DataFrame, del: DataFrame): Boolean = {
+    val touched = EdgeOps.vertices(ins.select("src", "dst")
+      .union(del.select("src", "dst")))
+    val known = universe.join(broadcast(touched), Seq("id"), "left_semi")
+    val novel = touched.join(broadcast(known), Seq("id"), "left_anti").ckpt()
+    if (novel.isEmpty) false
+    else {
+      universe = universe.union(novel).ckpt()
+      true
+    }
+  }
+
+  /** Apply one batch (insertions + optional deletions) to the running state.
+    *
+    * Universe growth policy (the reference has a FIXED eager universe,
+    * /root/reference/inc/snap.hxx:133; a real evolving web corpus does not):
+    * when a batch introduces vertices outside the known universe, the
+    * universe grows, the novel vertices get their self-loops, and — because
+    * N (hence the teleport term C0=(1−P)/N) changed, which invalidates the
+    * Dynamic Frontier approximation for every unswept vertex — the batch is
+    * re-ranked with Naive-dynamic (warm init, novel vertices start at 0.0,
+    * full sweep): the documented rebuild trigger. Subsequent batches with no
+    * novel endpoints resume the O(frontier) DF path. */
   def applyBatch(batch: DataFrame): Unit = synchronized {
     val pr = new PageRank(spark, opts)
     val (ins, del) = split(batch)
+    val grew = growUniverse(ins, del)
     if (edges == null) {
       // first batch bootstraps the base graph — static rank over the full
       // vertex universe (self-loops for every known vertex, like the
       // reference driver's pre-step)
       edges = EdgeOps.withSelfLoops(
-        EdgeOps.applyBatch(ins.limit(0), ins, del), vertexUniverse)
+        EdgeOps.applyBatch(ins.limit(0), ins, del), universe)
         .ckpt()
       ranks = pr.static(edges).ranks
     } else {
       val x = edges
-      val y = EdgeOps.applyBatch(x, ins, del).ckpt()
-      ranks = pr.dynamicFrontier(x, y, ins, del, ranks).ranks
+      val y =
+        (if (grew)
+          EdgeOps.withSelfLoops(EdgeOps.applyBatch(x, ins, del), universe)
+        else EdgeOps.applyBatch(x, ins, del)).ckpt()
+      ranks =
+        if (grew) pr.naiveDynamic(y, ranks).ranks
+        else pr.dynamicFrontier(x, y, ins, del, ranks).ranks
       edges = y
     }
     batchesApplied += 1
@@ -113,17 +149,22 @@ class IncrementalPageRank(spark: SparkSession,
     val lines = Files.readAllLines(mf)
     if (lines.isEmpty) return 0
     val nBatches = lines.size
-    // Fold the logged batches into the edge set, in order (insert+delete
-    // semantics identical to the live path).
+    // Fold the logged batches into the edge set, in order (insert+delete+
+    // universe-growth semantics identical to the live path).
     var e: DataFrame = null
     for (i <- 0 until nBatches) {
       val b = spark.read.parquet(f"$dir/batch_$i%05d")
-      val ins = b.where(col("op") =!= "del").select("src", "dst")
+      val ins = b.where(coalesce(col("op"), lit("ins")) =!= "del")
+        .select("src", "dst")
       val del = b.where(col("op") === "del").select("src", "dst")
+      val grew = growUniverse(ins, del)
       e =
         if (e == null)
           EdgeOps.withSelfLoops(EdgeOps.applyBatch(ins.limit(0), ins, del),
-            vertexUniverse).ckpt()
+            universe).ckpt()
+        else if (grew)
+          EdgeOps.withSelfLoops(EdgeOps.applyBatch(e, ins, del), universe)
+            .ckpt()
         else EdgeOps.applyBatch(e, ins, del).ckpt()
     }
     edges = e
@@ -148,7 +189,10 @@ class IncrementalPageRank(spark: SparkSession,
         s"stream checkpoint $streamCheckpointDir exists but engine state is " +
           "empty — restore() from PagerankOptions.checkpointDir (or use " +
           "IncrementalPageRank.resume) before restarting the stream")
-    val schema = "src LONG, dst LONG, seq LONG"
+    // `op` is part of the stream schema so deletion rows (op='del') arrive
+    // through the streaming front end too, not only via direct applyBatch;
+    // files without the column read it as NULL = insert (see split()).
+    val schema = "src LONG, dst LONG, seq LONG, op STRING"
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)

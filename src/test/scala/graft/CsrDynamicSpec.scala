@@ -104,6 +104,72 @@ class CsrDynamicSpec extends AnyFunSuite {
     }
   }
 
+  test("PagerankOptions.useCsr routes dynamicFrontier/Prune through the CSR engine, identical results") {
+    val (base, ins) = fixture(200L)
+    val y = (base ++ ins).distinct
+    val xDf = TestSpark.edgesDf(spark, base)
+    val yDf = TestSpark.edgesDf(spark, y)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    val want = Oracle.pagerank(new Oracle.G(y), tol = 1e-100)
+
+    val prCsr = new PageRank(spark, PagerankOptions(useCsr = true))
+    val prevCsr = prCsr.static(xDf).ranks
+    val gotDf = TestSpark.collectRanks(
+      prCsr.dynamicFrontier(xDf, yDf, insDf, none, prevCsr).ranks)
+    assert(gotDf.size === want.size)
+    assert(Oracle.allclose(gotDf, want, 1e-6),
+      s"maxDiff=${Oracle.maxDiff(gotDf, want)}")
+    val gotDfp = TestSpark.collectRanks(
+      prCsr.dynamicFrontierPrune(xDf, yDf, insDf, none, prevCsr).ranks)
+    assert(Oracle.allclose(gotDfp, want, 2e-6),
+      s"maxDiff=${Oracle.maxDiff(gotDfp, want)}")
+
+    // and value-identical (within residual tolerance) to the DataFrame path
+    val prDf = new PageRank(spark)
+    val prevDf = prDf.static(xDf).ranks
+    val dfPath = TestSpark.collectRanks(
+      prDf.dynamicFrontier(xDf, yDf, insDf, none, prevDf).ranks)
+    assert(Oracle.allclose(gotDf, dfPath, 1e-9),
+      s"maxDiff=${Oracle.maxDiff(gotDf, dfPath)}")
+  }
+
+  test("one-shot runFromSeeds equals carried-state applyBatch (same batch, same fixpoint)") {
+    val (base, ins) = fixture(150L)
+    val y = (base ++ ins).distinct
+    val xDf = TestSpark.edgesDf(spark, base)
+    val yDf = TestSpark.edgesDf(spark, y)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(xDf)
+    val (_, st0) = dyn.staticWithState(g0)
+    val (_, carried, _) = dyn.applyBatch(g0, st0, insDf, none, prune = false)
+
+    val oneShot = new PageRank(spark, PagerankOptions(useCsr = true))
+      .dynamicFrontier(xDf, yDf, insDf, none,
+        new PageRank(spark, PagerankOptions(useCsr = true)).static(xDf).ranks)
+    val a = TestSpark.collectRanks(carried.ranks)
+    val b = TestSpark.collectRanks(oneShot.ranks)
+    assert(Oracle.allclose(a, b, 1e-9), s"maxDiff=${Oracle.maxDiff(a, b)}")
+  }
+
+  test("batch touching a vertex outside the universe raises UniverseGrowthRequired") {
+    val base = selfLooped(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(TestSpark.edgesDf(spark, base))
+    val (_, st0) = dyn.staticWithState(g0)
+    val novel = TestSpark.edgesDf(spark, Seq((1L, 99L)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      dyn.applyBatch(g0, st0, novel, novel.limit(0), prune = false)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[CsrDynamic.UniverseGrowthRequired]))
+  }
+
   test("empty batch is a fixpoint no-op (1 superstep, ranks unchanged)") {
     val base = selfLooped(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
     val dyn = new CsrDynamic(spark)

@@ -79,6 +79,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(Oracle.allclose(got, want, 2e-6), s"maxDiff=${Oracle.maxDiff(got, want)}")
   }
 
+  test("mid-stream novel vertex: universe grows and ranks converge on the grown graph") {
+    val P = 100L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF()
+      .select("src", "dst").dropDuplicates("src", "dst").cache()
+    val universe = EdgeOps.vertices(staged).cache()
+    val inc = new IncrementalPageRank(spark, universe)
+    inc.applyBatch(staged)
+
+    // batch 1 introduces vertices P and P+1 — outside the declared universe,
+    // as src, as dst, and linking to existing vertices
+    val ins = Seq((5L, P), (P, 7L), (P + 1L, P)).toDF("src", "dst")
+    inc.applyBatch(ins)
+
+    val grown = universe.union(Seq(P, P + 1L).toDF("id"))
+    val y1 = EdgeOps.withSelfLoops(
+      EdgeOps.applyBatch(EdgeOps.withSelfLoops(staged, universe), ins,
+        ins.limit(0)), grown)
+    val want1 = TestSpark.collectRanks(new PageRank(spark).static(y1).ranks)
+    val got1 = TestSpark.collectRanks(inc.currentRanks)
+    assert(got1.keySet === want1.keySet)
+    assert(got1.contains(P) && got1.contains(P + 1L))
+    assert(Oracle.allclose(got1, want1, 2e-6),
+      s"maxDiff=${Oracle.maxDiff(got1, want1)}")
+
+    // a follow-up batch with no novel endpoints resumes the DF path and
+    // stays correct over the grown universe
+    val ins2 = Seq((P, 3L), (11L, P + 1L)).toDF("src", "dst")
+      .join(inc.currentEdges, Seq("src", "dst"), "left_anti")
+    inc.applyBatch(ins2)
+    val y2 = EdgeOps.withSelfLoops(
+      EdgeOps.applyBatch(y1, ins2, ins2.limit(0)), grown)
+    val want2 = TestSpark.collectRanks(new PageRank(spark).static(y2).ranks)
+    val got2 = TestSpark.collectRanks(inc.currentRanks)
+    assert(got2.keySet === want2.keySet)
+    assert(Oracle.allclose(got2, want2, 2e-6),
+      s"maxDiff=${Oracle.maxDiff(got2, want2)}")
+  }
+
   test("kill/resume: restore() rebuilds edges+ranks from the stream log; fresh run fails fast") {
     import graft.model.PagerankOptions
     val P = 100L
