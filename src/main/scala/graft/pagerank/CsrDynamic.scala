@@ -48,7 +48,15 @@ import CsrDynamic._
   * contract the reference's temporal loader establishes
   * (/root/reference/inc/snap.hxx:133).
   */
-class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
+class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
+    /** Same dense-vs-sparse push-buffer threshold as [[CsrPageRank]]: while
+      * |V|·8B fits, pushes accumulate into a zeroed thread-local dense
+      * buffer addressed by global (part, idx) offset — primitive arrays,
+      * no hashing, no boxing (a boxed HashMap here made a dynamic superstep
+      * cost 2-3× a STATIC superstep, erasing the frontier win); beyond it,
+      * a packed-key open-address primitive map bounded by the frontier's
+      * out-edges (the 10¹²-vertex regime). */
+    maxDenseBytes: Long = 128L * 1024 * 1024) {
 
   private val ip = (parts: Int) => new IdxPartitioner(parts)
 
@@ -57,24 +65,23 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
   def computeS(g: CsrGraph, ranks: RDD[Array[Double]]): RDD[Array[Double]] = {
     val parts = g.vCounts.length
     val vc = spark.sparkContext.broadcast(g.vCounts)
+    val denseOk = g.n * 8L <= maxDenseBytes
     val msgs = g.blocks.zipPartitions(ranks, preservesPartitioning = false) {
       (bIt, rIt) =>
         val b = bIt.next()
         val r = rIt.next()
-        val acc = new java.util.HashMap[Long, Double]()
+        val push = PushAcc(vc.value, denseOk, b.dstPart.length)
         var i = 0
         while (i < b.srcs.length) {
           val w = r(i) * b.invDeg(i)
           var e = b.offsets(i)
           while (e < b.offsets(i + 1)) {
-            val key = pack(b.dstPart(e), b.dstIdx(e))
-            acc.merge(key, w, (a, x) => a + x)
+            push.add(b.dstPart(e), b.dstIdx(e), w, mark = false)
             e += 1
           }
           i += 1
         }
-        emitPacked(acc, java.util.Collections.emptySet[java.lang.Long](),
-          vc.value.length)
+        push.emit()
     }
     msgs.partitionBy(ip(parts))
       .zipPartitions(g.blocks, preservesPartitioning = true) { (mIt, bIt) =>
@@ -257,6 +264,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
     val damp = opts.damping
     val fTol = opts.frontierTolerance
     val pTol = opts.pruneTolerance
+    val denseOk = g.n * 8L <= maxDenseBytes
     var iter = 0
     var residual = Double.MaxValue
     var active = 1L
@@ -283,9 +291,10 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
           j = 0
           while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
         }
-        // (2) sweep the frontier, push deltas, expand
-        val out = new java.util.HashMap[Long, Double]()
-        val outMarks = new java.util.HashSet[java.lang.Long]()
+        // (2) sweep the frontier, push deltas, expand — primitive-array
+        // accumulation (dense thread-local buffer / open-address map),
+        // never a boxed hash map in the per-edge hot loop
+        val push = PushAcc(vc.value, denseOk, b.dstPart.length)
         var maxD = 0.0
         var nActive = 0L
         var i = 0
@@ -308,10 +317,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
               while (e < b.offsets(i + 1)) {
                 val tp = b.dstPart(e)
                 val ti = b.dstIdx(e)
-                val key = pack(tp, ti)
-                out.merge(key, dw, (x, y) => x + y)
                 // DF-P expansion skips the self edge (v != u)
-                if (mark && !(prune && tp == p && ti == i)) outMarks.add(key)
+                push.add(tp, ti, dw, mark && !(prune && tp == p && ti == i))
                 e += 1
               }
             }
@@ -322,8 +329,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions())
         resAcc.add((p, maxD))
         // still-active = flagged locally + marks in flight (receivers get
         // flagged next round) — folded into one accumulator, no extra job
-        activeAcc.add((p, nActive.toDouble + outMarks.size()))
-        val outArr = emitPacked(out, outMarks, vc.value.length).toArray
+        activeAcc.add((p, nActive.toDouble + push.markCount))
+        val outArr = push.emit().toArray
         Iterator.single((st, outArr))
       }
       nxt.persist(StorageLevel.MEMORY_AND_DISK)
@@ -412,6 +419,174 @@ object CsrDynamic {
 
   def pack(part: Int, idx: Int): Long =
     (part.toLong << 32) | (idx.toLong & 0xffffffffL)
+
+  // ------------------------------------------------------------ push sweeps
+
+  /** Per-task accumulator for pushed S-deltas + expansion marks, keyed by
+    * (target partition, local index). Two regimes, mirroring
+    * [[CsrPageRank]]'s sweep buffers:
+    *  - dense: |V|-wide thread-local primitive arrays addressed by the
+    *    global offset of (part, idx) — no hashing, no boxing; buffers are
+    *    reused across tasks on the same executor thread (zeroed on acquire,
+    *    which keeps them safe after a failed task);
+    *  - sparse: a growing packed-key open-address primitive map bounded by
+    *    the frontier's out-edge count — |V|-independent, for the
+    *    10¹²-vertex regime. */
+  private[pagerank] sealed trait PushAcc {
+    def add(part: Int, idx: Int, dw: Double, mark: Boolean): Unit
+    /** Number of DISTINCT marked targets so far. */
+    def markCount: Int
+    /** Per-target-partition packed messages (empty partitions skipped). */
+    def emit(): Iterator[(Int, Msg)]
+  }
+
+  private[pagerank] object PushAcc {
+    def apply(vc: Array[Int], dense: Boolean, edgeBound: Int): PushAcc =
+      if (dense) new DensePush(vc) else new SparsePush(vc, edgeBound)
+  }
+
+  private val dBuf = new ThreadLocal[Array[Double]]
+  private val mBuf = new ThreadLocal[Array[Boolean]]
+  private def threadDoubles(n: Int): Array[Double] = {
+    var a = dBuf.get()
+    if (a == null || a.length < n) { a = new Array[Double](n); dBuf.set(a) }
+    else java.util.Arrays.fill(a, 0, n, 0.0)
+    a
+  }
+  private def threadBools(n: Int): Array[Boolean] = {
+    var a = mBuf.get()
+    if (a == null || a.length < n) { a = new Array[Boolean](n); mBuf.set(a) }
+    else java.util.Arrays.fill(a, 0, n, false)
+    a
+  }
+
+  private final class DensePush(vc: Array[Int]) extends PushAcc {
+    private val parts = vc.length
+    private val base = new Array[Int](parts + 1)
+    locally {
+      var p = 0
+      while (p < parts) { base(p + 1) = base(p) + vc(p); p += 1 }
+    }
+    private val acc = threadDoubles(base(parts))
+    private val marked = threadBools(base(parts))
+    private var nMarks = 0
+
+    def add(part: Int, idx: Int, dw: Double, mark: Boolean): Unit = {
+      val o = base(part) + idx
+      acc(o) += dw
+      if (mark && !marked(o)) { marked(o) = true; nMarks += 1 }
+    }
+    def markCount: Int = nMarks
+    def emit(): Iterator[(Int, Msg)] =
+      (0 until parts).iterator.flatMap { q =>
+        val lo = base(q); val hi = base(q + 1)
+        var nd = 0; var nm = 0
+        var k = lo
+        while (k < hi) {
+          if (acc(k) != 0.0) nd += 1
+          if (marked(k)) nm += 1
+          k += 1
+        }
+        if (nd == 0 && nm == 0) Iterator.empty
+        else {
+          val idxs = new Array[Int](nd)
+          val vals = new Array[Double](nd)
+          val marks = new Array[Int](nm)
+          var di = 0; var mi = 0
+          k = lo
+          while (k < hi) {
+            if (acc(k) != 0.0) { idxs(di) = k - lo; vals(di) = acc(k); di += 1 }
+            if (marked(k)) { marks(mi) = k - lo; mi += 1 }
+            k += 1
+          }
+          Iterator.single((q, (idxs, vals, marks): Msg))
+        }
+      }
+  }
+
+  /** Growing open-address map (linear probing, power-of-two capacity,
+    * doubling rehash at 50% load) over packed (part,idx) keys with a
+    * parallel mark bit — all primitive arrays. */
+  private final class SparsePush(vc: Array[Int], edgeBound: Int)
+      extends PushAcc {
+    // start at ~1/8 of the partition's edge bound (frontier sweeps are
+    // usually far sparser than a full sweep), grow by doubling
+    private var cap = java.lang.Integer.highestOneBit(
+      math.min(1 << 20, math.max(1 << 12, edgeBound / 8)))
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Double](cap)
+    private var used = new Array[Boolean](cap)
+    private var marked = new Array[Boolean](cap)
+    private var size = 0
+    private var nMarks = 0
+
+    private def slot(key: Long, ks: Array[Long], us: Array[Boolean],
+        c: Int): Int = {
+      var h = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (c - 1)
+      while (us(h) && ks(h) != key) h = (h + 1) & (c - 1)
+      h
+    }
+    private def grow(): Unit = {
+      val nc = cap << 1
+      val nk = new Array[Long](nc)
+      val nv = new Array[Double](nc)
+      val nu = new Array[Boolean](nc)
+      val nm = new Array[Boolean](nc)
+      var h = 0
+      while (h < cap) {
+        if (used(h)) {
+          val s = slot(keys(h), nk, nu, nc)
+          nk(s) = keys(h); nv(s) = vals(h); nu(s) = true; nm(s) = marked(h)
+        }
+        h += 1
+      }
+      cap = nc; keys = nk; vals = nv; used = nu; marked = nm
+    }
+
+    def add(part: Int, idx: Int, dw: Double, mark: Boolean): Unit = {
+      if (size * 2 >= cap) grow()
+      val key = pack(part, idx)
+      val h = slot(key, keys, used, cap)
+      if (!used(h)) { used(h) = true; keys(h) = key; size += 1 }
+      vals(h) += dw
+      if (mark && !marked(h)) { marked(h) = true; nMarks += 1 }
+    }
+    def markCount: Int = nMarks
+    def emit(): Iterator[(Int, Msg)] = {
+      val parts = vc.length
+      val nd = new Array[Int](parts)
+      val nm = new Array[Int](parts)
+      var h = 0
+      while (h < cap) {
+        if (used(h)) {
+          val q = (keys(h) >>> 32).toInt
+          if (vals(h) != 0.0) nd(q) += 1
+          if (marked(h)) nm(q) += 1
+        }
+        h += 1
+      }
+      val outI = Array.tabulate(parts)(q => new Array[Int](nd(q)))
+      val outV = Array.tabulate(parts)(q => new Array[Double](nd(q)))
+      val outM = Array.tabulate(parts)(q => new Array[Int](nm(q)))
+      val ci = new Array[Int](parts)
+      val cm = new Array[Int](parts)
+      h = 0
+      while (h < cap) {
+        if (used(h)) {
+          val q = (keys(h) >>> 32).toInt
+          val li = (keys(h) & 0xffffffffL).toInt
+          if (vals(h) != 0.0) {
+            outI(q)(ci(q)) = li; outV(q)(ci(q)) = vals(h); ci(q) += 1
+          }
+          if (marked(h)) { outM(q)(cm(q)) = li; cm(q) += 1 }
+        }
+        h += 1
+      }
+      (0 until parts).iterator
+        .filter(q => nd(q) > 0 || nm(q) > 0)
+        .map(q => (q, (outI(q), outV(q), outM(q)): Msg))
+    }
+  }
 
   /** Home partition of a vertex id under Spark's HashPartitioner(parts). */
   def homePart(id: Long, parts: Int): Int = {

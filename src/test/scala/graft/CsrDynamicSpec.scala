@@ -170,6 +170,25 @@ class CsrDynamicSpec extends AnyFunSuite {
       _.isInstanceOf[CsrDynamic.UniverseGrowthRequired]))
   }
 
+  test("sparse push path (maxDenseBytes=0) matches the dense path") {
+    val (base, ins) = fixture(150L)
+    val xDf = TestSpark.edgesDf(spark, base)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    def runWith(dyn: CsrDynamic): Map[Long, Double] = {
+      val g0 = new CsrPageRank(spark).build(xDf)
+      val (_, st0) = dyn.staticWithState(g0)
+      val (_, run, _) = dyn.applyBatch(g0, st0, insDf, none, prune = false)
+      TestSpark.collectRanks(run.ranks)
+    }
+    val dense = runWith(new CsrDynamic(spark))
+    val sparse = runWith(new CsrDynamic(spark, graft.model.PagerankOptions(),
+      maxDenseBytes = 0))
+    // delta-application order differs between the two emit layouts → ulp
+    assert(Oracle.allclose(dense, sparse, 1e-12),
+      s"maxDiff=${Oracle.maxDiff(dense, sparse)}")
+  }
+
   test("empty batch is a fixpoint no-op (1 superstep, ranks unchanged)") {
     val base = selfLooped(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
     val dyn = new CsrDynamic(spark)
