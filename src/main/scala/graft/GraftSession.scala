@@ -10,10 +10,25 @@ import org.apache.spark.sql.SparkSession
   * `schedule(dynamic,2048)` load balancing, /root/reference/inc/pagerank.hxx:202).
   */
 object GraftSession {
+  /** Shuffle/spill directory: tmpfs when available (env GRAFT_LOCAL_DIR
+    * overrides). This sandbox's /tmp sits on a virtualized block device —
+    * at 32 cores a ~2 GB/superstep shuffle through the hypervisor turns
+    * 60%+ of CPU into system time and caps scaling; /dev/shm is the
+    * single-box analog of the per-executor local NVMe every real cluster
+    * node gives its shuffle service. Shuffle files are reclaimed by the
+    * ContextCleaner as lineage is truncated each superstep, so residency
+    * stays bounded. */
+  private def localDir: String = sys.env.getOrElse("GRAFT_LOCAL_DIR", {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark"
+    else System.getProperty("java.io.tmpdir")
+  })
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft-linkgraph")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

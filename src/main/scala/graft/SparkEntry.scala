@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algos.{ConnectedComponents, LabelPropagation, TriangleCount}
@@ -131,6 +130,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_edges"),
           countDistinct(col("src")).as("n_src"),
           countDistinct(col("dst")).as("n_dst"))
+    }),
+
+    // Batch tidying B4-B7 (filter by existence + dedupe + sort,
+    // /root/reference/inc/batch.hxx:153-208): tidied insertions are the
+    // batch rows NOT in the base, tidied deletions those that ARE.
+    "q_tidy_batch" -> ((s, dir) => {
+      val base = derivedEdges(s, dir)
+      val batch = s.read.parquet(s"$dir/orders.parquet")
+        .select((col("o_orderkey") % 5000).as("src"),
+          (col("o_custkey") % 5000).as("dst"))
+      EdgeOps.tidyInsertions(batch, base).withColumn("kind", lit("ins"))
+        .union(EdgeOps.tidyDeletions(batch, base).withColumn("kind", lit("del")))
+        .orderBy("kind", "src", "dst")
+    }),
+
+    // C4 removeVertex as a bulk set (/root/reference/inc/Graph.hxx:364-369).
+    "q_remove_vertices" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val victims = EdgeOps.vertices(e).where(col("id") % 37 === 0)
+      EdgeOps.removeVertices(e, victims).orderBy("src", "dst")
     }),
 
     // ------------------------------------------ graph (DuckDB-oracled too)
@@ -436,6 +455,20 @@ object SparkEntry {
          |y AS (SELECT src, dst FROM afterdel UNION SELECT src, dst FROM ins)
          |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_src,
          |       count(DISTINCT dst) AS n_dst FROM y""".stripMargin,
+
+    "q_tidy_batch" ->
+      s"""WITH base AS ($edgesCte),
+         |batch AS (SELECT o_orderkey % 5000 AS src, o_custkey % 5000 AS dst FROM orders),
+         |ins AS (SELECT DISTINCT src, dst FROM batch EXCEPT SELECT src, dst FROM base),
+         |del AS (SELECT DISTINCT src, dst FROM batch INTERSECT SELECT src, dst FROM base)
+         |SELECT src, dst, 'ins' AS kind FROM ins
+         |UNION ALL SELECT src, dst, 'del' AS kind FROM del
+         |ORDER BY kind, src, dst""".stripMargin,
+
+    "q_remove_vertices" ->
+      s"""WITH edges AS ($edgesCte)
+         |SELECT src, dst FROM edges
+         |WHERE src % 37 <> 0 AND dst % 37 <> 0 ORDER BY src, dst""".stripMargin,
 
     // min label over the transitive closure of the symmetrized graph —
     // component = min reachable id (closure is Σ|C|² rows ≈ 20M at sf0.01,

@@ -9,7 +9,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.graph.EdgeOps
 import graft.util.Ckpt._
 import graft.model.PagerankOptions
-import graft.pagerank.PageRank
+import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
+import graft.pagerank.CsrPageRank.CsrGraph
+import graft.pagerank.CsrDynamic.CsrState
 
 /** Structured-Streaming front end for dynamic PageRank.
   *
@@ -22,6 +24,12 @@ import graft.pagerank.PageRank
   * re-ranking with the Dynamic Frontier variant against the previous ranks:
   * exactly the reference's per-batch loop (§3.2), driven by Spark's source
   * sequencing, checkpointing and exactly-once batch replay.
+  *
+  * With `opts.useCsr` the re-rank runs on a CARRIED [[CsrDynamic]] engine:
+  * the frozen CSR graph + per-partition (rank, S, flag) state advance by
+  * in-place splice per micro-batch — O(frontier) supersteps, no per-batch
+  * refreeze — falling back to a warm full re-rank + lazy refreeze only when
+  * a batch grows the vertex universe.
   *
   * Durability & resume (north rule): with `opts.checkpointDir` set, every
   * COMPLETED batch appends its normalized batch rows and its converged rank
@@ -52,6 +60,13 @@ class IncrementalPageRank(spark: SparkSession,
   /** Current vertex universe — starts at `vertexUniverse` and GROWS when a
     * batch introduces novel endpoints (see [[growUniverse]]). */
   @volatile private var universe: DataFrame = vertexUniverse
+  /** Carried CSR engine state (opts.useCsr): the frozen graph + per-
+    * partition (rank, S, flag) blocks advanced by in-place splice per
+    * micro-batch — O(frontier) supersteps instead of the DataFrame path's
+    * O(|V|)-per-superstep floor. Rebuilt lazily (after resume, or after a
+    * universe-growth batch invalidates the frozen universe). */
+  @volatile private var csrG: CsrGraph = _
+  @volatile private var csrSt: org.apache.spark.rdd.RDD[CsrState] = _
 
   def currentRanks: DataFrame = ranks
   def currentEdges: DataFrame = edges
@@ -115,13 +130,47 @@ class IncrementalPageRank(spark: SparkSession,
         (if (grew)
           EdgeOps.withSelfLoops(EdgeOps.applyBatch(x, ins, del), universe)
         else EdgeOps.applyBatch(x, ins, del)).ckpt()
-      ranks =
-        if (grew) pr.naiveDynamic(y, ranks).ranks
-        else pr.dynamicFrontier(x, y, ins, del, ranks).ranks
+      if (grew) {
+        // universe grew ⇒ N and C0 changed ⇒ warm full re-rank, and the
+        // frozen CSR universe is stale — drop it; rebuilt lazily next batch
+        ranks = pr.naiveDynamic(y, ranks).ranks
+        dropCsr()
+      } else if (opts.useCsr) {
+        if (csrG == null) bootstrapCsr(x)
+        val dyn = new CsrDynamic(spark, opts)
+        // splice contract: insertions absent from x, deletions present;
+        // self-loop deletions are excluded (engine-wide invariant — every
+        // vertex keeps its self-loop, /root/reference/main.cxx:127-128)
+        val insT = EdgeOps.tidyInsertions(ins, x)
+        val delT = EdgeOps.tidyDeletions(
+          del.where(col("src") =!= col("dst")), x)
+        val (g2, run, st2) = dyn.applyBatch(csrG, csrSt, insT, delT,
+          prune = false)
+        csrG.blocks.unpersist(false)
+        csrSt.unpersist(false)
+        csrG = g2; csrSt = st2
+        ranks = run.ranks
+      } else {
+        ranks = pr.dynamicFrontier(x, y, ins, del, ranks).ranks
+      }
       edges = y
     }
     batchesApplied += 1
     persistCompletedBatch(batch)
+  }
+
+  private def dropCsr(): Unit = {
+    if (csrG != null) csrG.blocks.unpersist(false)
+    if (csrSt != null) csrSt.unpersist(false)
+    csrG = null; csrSt = null
+  }
+
+  /** Freeze the current edge set and align the current ranks — the carried
+    * CSR engine's (re)entry point after bootstrap, resume, or growth. */
+  private def bootstrapCsr(x: DataFrame): Unit = {
+    val dyn = new CsrDynamic(spark, opts)
+    csrG = new CsrPageRank(spark, opts).build(x)
+    csrSt = dyn.stateFromRanks(csrG, ranks)
   }
 
   /** Durable per-batch log: normalized batch rows + converged ranks +

@@ -117,6 +117,45 @@ class StreamingSpec extends AnyFunSuite {
       s"maxDiff=${Oracle.maxDiff(got2, want2)}")
   }
 
+  test("useCsr streaming: carried CSR engine across mixed/growth batches matches static") {
+    import graft.model.PagerankOptions
+    val P = 110L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF()
+      .select("src", "dst").dropDuplicates("src", "dst").cache()
+    val universe = EdgeOps.vertices(staged).cache()
+    val inc = new IncrementalPageRank(spark, universe,
+      PagerankOptions(useCsr = true))
+
+    // batch 0: bootstrap (CSR static); batch 1: insertions+deletions
+    // (carried CSR splice); batch 2: novel vertex (growth → warm full
+    // re-rank + CSR refreeze); batch 3: normal batch (CSR resumed).
+    inc.applyBatch(staged)
+    val del = staged.where($"src" % 9 === 0 && $"src" =!= $"dst")
+      .withColumn("op", lit("del"))
+    val ins1 = Seq((2L, 33L), (33L, 71L)).toDF("src", "dst")
+      .join(staged, Seq("src", "dst"), "left_anti").withColumn("op", lit("ins"))
+    inc.applyBatch(ins1.unionByName(del))
+    val ins2 = Seq((7L, P), (P, 5L)).toDF("src", "dst")
+    inc.applyBatch(ins2)
+    val ins3 = Seq((P, 13L), (21L, 2L)).toDF("src", "dst")
+      .join(inc.currentEdges, Seq("src", "dst"), "left_anti")
+    inc.applyBatch(ins3)
+    assert(inc.batches === 4)
+
+    val grown = universe.union(Seq(P).toDF("id"))
+    val y1 = EdgeOps.withSelfLoops(
+      EdgeOps.applyBatch(staged, ins1.select("src", "dst"),
+        del.select("src", "dst")), universe)
+    val y2 = EdgeOps.withSelfLoops(
+      EdgeOps.applyBatch(y1, ins2, ins2.limit(0)), grown)
+    val y3 = EdgeOps.applyBatch(y2, ins3, ins3.limit(0))
+    val want = TestSpark.collectRanks(new PageRank(spark).static(y3).ranks)
+    val got = TestSpark.collectRanks(inc.currentRanks)
+    assert(got.keySet === want.keySet)
+    assert(Oracle.allclose(got, want, 2e-6),
+      s"maxDiff=${Oracle.maxDiff(got, want)}")
+  }
+
   test("kill/resume: restore() rebuilds edges+ranks from the stream log; fresh run fails fast") {
     import graft.model.PagerankOptions
     val P = 100L
