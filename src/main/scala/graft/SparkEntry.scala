@@ -234,6 +234,14 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
     }),
 
+    "q_pagerank_csr_traversal" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts(useCsr = true))
+      val prev = pr.static(x).ranks
+      pr.dynamicTraversal(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
     "q_pagerank_web_static" -> ((s, dir) => {
       val (dict, staged) = webGraph(s, 400L)
       val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged), dict.select("id"))
@@ -504,6 +512,7 @@ object SparkEntry {
     "q_pagerank_dynamic_traversal" -> convergedPrSql,
     "q_pagerank_dfp" -> convergedPrSql,
     "q_pagerank_csr_frontier" -> convergedPrSql,
+    "q_pagerank_csr_traversal" -> convergedPrSql,
 
     // Raw-substring shingles: hashing shingles (Spark side) preserves set
     // equality, so Jaccard over raw 5-grams is the exact oracle.

@@ -165,9 +165,13 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     * seed marking (the one-shot form of [[applyBatch]], used by the
     * PagerankOptions.useCsr routing where the batch is already merged into
     * `g` by the caller). Flags start CLEARED — the reference allocates a
-    * fresh affected vector per invocation (inc/pagerank.hxx:683). */
+    * fresh affected vector per invocation (inc/pagerank.hxx:683).
+    * `fixedFrontier` = Dynamic Traversal semantics (V3,
+    * inc/pagerank.hxx:577-615): the affected set is the seed marking
+    * (caller passes the BFS closure) and never grows during iteration. */
   def runFromSeeds(g: CsrGraph, state: RDD[CsrState],
-      seeds: org.apache.spark.sql.DataFrame, prune: Boolean)
+      seeds: org.apache.spark.sql.DataFrame, prune: Boolean,
+      fixedFrontier: Boolean = false)
       : (PagerankRun, RDD[CsrState]) = {
     val t0 = System.nanoTime()
     val parts = g.vCounts.length
@@ -181,7 +185,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         Iterator.single((st, mIt.toArray))
     }
     cur0.persist(StorageLevel.MEMORY_AND_DISK).count()
-    runLoop(g, cur0, prune, t0, System.nanoTime())
+    runLoop(g, cur0, prune, t0, System.nanoTime(), fixedFrontier)
   }
 
   /** Splice a tidied batch into the CSR graph and run DF / DF-P from the
@@ -255,7 +259,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     * messages (S corrections + initial DF marking). */
   private def runLoop(g: CsrGraph,
       cur0: RDD[(CsrState, Array[(Int, Msg)])], prune: Boolean,
-      t0: Long, t1: Long): (PagerankRun, RDD[CsrState]) = {
+      t0: Long, t1: Long, fixedFrontier: Boolean = false)
+      : (PagerankRun, RDD[CsrState]) = {
     val sc = spark.sparkContext
     val parts = g.vCounts.length
     val vc = sc.broadcast(g.vCounts)
@@ -265,6 +270,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     val fTol = opts.frontierTolerance
     val pTol = opts.pruneTolerance
     val denseOk = g.n * 8L <= maxDenseBytes
+    val fixedF = fixedFrontier
     var iter = 0
     var residual = Double.MaxValue
     var active = 1L
@@ -312,7 +318,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
             if (d != 0.0) {
               st.rank(i) = a
               val dw = (a - r0) * inv
-              val mark = relD > fTol
+              // fixed-frontier (DT) mode never expands the affected set
+              val mark = !fixedF && relD > fTol
               var e = b.offsets(i)
               while (e < b.offsets(i + 1)) {
                 val tp = b.dstPart(e)

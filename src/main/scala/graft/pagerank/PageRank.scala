@@ -100,6 +100,15 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
       insertions: DataFrame, deletions: DataFrame, prevRanks: DataFrame,
       state: Option[LinkState] = None): PagerankRun = {
     val seeds = frontierSeeds(xEdges, yEdges, insertions, deletions)
+    if (opts.useCsr) {
+      // CSR route: the BFS closure is out-edge-closed, so every push lands
+      // inside the affected set — runFromSeeds in fixed-frontier mode.
+      val g = new CsrPageRank(spark, opts).build(yEdges)
+      val dyn = new CsrDynamic(spark, opts)
+      val st = dyn.stateFromRanks(g, prevRanks)
+      return dyn.runFromSeeds(g, st, bfsClosure(yEdges, seeds),
+        prune = false, fixedFrontier = true)._1
+    }
     run(yEdges, Some(prevRanks), FrontierFixed(bfsClosure(yEdges, seeds)),
       NoExpansion, state = state)
   }

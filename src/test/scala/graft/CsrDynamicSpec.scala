@@ -132,6 +132,12 @@ class CsrDynamicSpec extends AnyFunSuite {
       prDf.dynamicFrontier(xDf, yDf, insDf, none, prevDf).ranks)
     assert(Oracle.allclose(gotDf, dfPath, 1e-9),
       s"maxDiff=${Oracle.maxDiff(gotDf, dfPath)}")
+
+    // Dynamic Traversal through the CSR route (fixed-frontier mode)
+    val gotDt = TestSpark.collectRanks(
+      prCsr.dynamicTraversal(xDf, yDf, insDf, none, prevCsr).ranks)
+    assert(Oracle.allclose(gotDt, want, 1e-6),
+      s"maxDiff=${Oracle.maxDiff(gotDt, want)}")
   }
 
   test("one-shot runFromSeeds equals carried-state applyBatch (same batch, same fixpoint)") {
