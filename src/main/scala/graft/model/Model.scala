@@ -55,9 +55,13 @@ final case class PagerankOptions(
       * aggregation is salted two-phase (None = auto: max(1M, |E|/parts/4)).
       * Set low only in tests to force the salted plan at toy scale. */
     hubThreshold: Option[Long] = None,
-    /** Static PageRank via the partition-local CSR fast path
-      * ([[graft.pagerank.CsrPageRank]]) instead of the DataFrame superstep —
-      * identical results, one packed-primitive shuffle per superstep. */
+    /** Route PageRank through the partition-local CSR engine instead of the
+      * DataFrame superstep — identical results. Static sweeps run one
+      * packed-primitive shuffle + one job per superstep
+      * ([[graft.pagerank.CsrPageRank]]); the dynamic variants (DF / DF-P /
+      * DT) run O(frontier) push supersteps ([[graft.pagerank.CsrDynamic]]),
+      * and the streaming front end carries the frozen graph across
+      * micro-batches. */
     useCsr: Boolean = false)
 
 /** Result of one PageRank run — mirrors the reference's PagerankResult
