@@ -20,7 +20,13 @@ object GraftSession {
     * stays bounded. */
   private def localDir: String = sys.env.getOrElse("GRAFT_LOCAL_DIR", {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark"
+    // Capacity-gated: a superstep shuffles ~2 GB here and the cleaner lags a
+    // superstep behind — on hosts with a small tmpfs (Docker's 64 MB /dev/shm
+    // default) preferring it would fail mid-job with ENOSPC, so require a
+    // sane floor of headroom before leaving the default tmpdir.
+    val floorBytes = 8L * 1024 * 1024 * 1024
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= floorBytes)
+      "/dev/shm/graft-spark"
     else System.getProperty("java.io.tmpdir")
   })
 

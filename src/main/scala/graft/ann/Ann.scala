@@ -31,22 +31,49 @@ object Ann {
   /** Per-query top-k over a scored (qid, vec_id, <scoreCol>) frame WITHOUT
     * a per-qid window: a `row_number() over (partition by qid)` funnels
     * every scored corpus row of a query through ONE reduce partition — a
-    * full-corpus single-key shuffle per query at scale. Instead: bounded
-    * per-partition top-k (map-side `slice(sort_array(collect_list(...)))`
-    * over (qid, physical partition) — each group's rows are entirely local,
-    * so only ≤ k rows per (qid, partition) ever shuffle), then a tiny final
-    * merge over ≤ parts·k rows per query. Ordering: score desc, vec_id asc
-    * (the negated-id struct field makes the lexicographic desc sort break
-    * ties ascending). Output: (qid, vec_id, <scoreCol>, rank 1..k). */
+    * full-corpus single-key shuffle per query at scale. Instead the partial
+    * selection runs TRULY map-side: a bounded per-qid ordered buffer inside
+    * `mapPartitions` (no stage-1 exchange at all — r3's
+    * `groupBy(qid, partition) → collect_list → slice` removed the funnel
+    * but still carried each group's FULL row list through the partial-agg
+    * exchange), so only ≤ k rows per (qid, input partition) ever leave a
+    * task. The final merge then folds ≤ parts·k rows per query. Ordering:
+    * score desc, vec_id asc on ties. Output: (qid, vec_id, <scoreCol>,
+    * rank 1..k). */
   def topK(scored: DataFrame, k: Int, scoreCol: String = "cos"): DataFrame = {
-    val item = struct(col(scoreCol), (-col("vec_id")).as("negid"), col("vec_id"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst-first natural order (score asc, vec_id desc) so head() is the
+    // eviction candidate; "best" = highest score, ties to the smaller id
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
     val partial = scored
-      .withColumn("part", spark_partition_id())
-      .groupBy("qid", "part")
-      .agg(slice(sort_array(collect_list(item), asc = false), 1, k).as("top"))
-    partial.select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = new scala.collection.mutable.HashMap[
+          Long, java.util.TreeSet[(Double, Long)]]()
+        it.foreach { case (qid, vid, s) =>
+          val h = heaps.getOrElseUpdate(qid,
+            new java.util.TreeSet[(Double, Long)](worstFirst))
+          if (h.size < k) h.add((s, vid))
+          else if (worstFirst.compare((s, vid), h.first()) > 0) {
+            h.pollFirst(); h.add((s, vid))
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val hi = h.iterator()
+          while (hi.hasNext) { val t = hi.next(); out += ((qid, t._2, t._1)) }
+          out.iterator
+        }
+      }
+      .toDF("qid", "vec_id", scoreCol)
+    val item = struct(col(scoreCol), (-col("vec_id")).as("negid"), col("vec_id"))
+    partial
       .groupBy("qid")
-      .agg(slice(sort_array(collect_list(col("t")), asc = false), 1, k).as("top"))
+      .agg(slice(sort_array(collect_list(item), asc = false), 1, k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("qid"), col("t").getField("vec_id").as("vec_id"),
         col("t").getField(scoreCol).as(scoreCol),

@@ -41,8 +41,17 @@ object MtxReader {
     import spark.implicits._
     val sc = spark.sparkContext
     val all = sc.textFile(path)
-    // Header (driver-side, first lines only): banner + "rows cols size".
-    val head = all.take(64)
+    // Header (driver-side): scan to the FIRST non-comment line, however long
+    // the leading comment block is (SuiteSparse exports can carry hundreds
+    // of '%' lines — a fixed 64-line probe threw on them). Doubling take()
+    // keeps the common case to one tiny job.
+    var probe = 64
+    var head = all.take(probe)
+    while (!head.exists(l => !l.startsWith("%") && l.trim.nonEmpty) &&
+        head.length == probe) {
+      probe *= 8
+      head = all.take(probe)
+    }
     val banner = head.find(_.startsWith("%%")).getOrElse("")
     val bannerF = banner.trim.split("\\s+")
     val symmetric = bannerF.length >= 5 &&

@@ -276,10 +276,14 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     var active = 1L
     while (iter < opts.maxIterations && residual >= opts.tolerance &&
         active > 0) {
+      // registered UNNAMED: named accumulators pin an entry in the context
+      // registry per registration — two per superstep across a long-lived
+      // streaming session is a slow leak; unnamed ones are weak-ref'd and
+      // reclaimed with the superstep's closure.
       val resAcc = new PartitionValueAcc
       val activeAcc = new PartitionValueAcc
-      sc.register(resAcc, s"dyn_res_$iter")
-      sc.register(activeAcc, s"dyn_active_$iter")
+      sc.register(resAcc)
+      sc.register(activeAcc)
       val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>

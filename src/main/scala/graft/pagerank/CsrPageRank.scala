@@ -209,7 +209,7 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
     val useL1 = opts.useL1Residual
     while (iter < opts.maxIterations && residual >= opts.tolerance) {
       val acc = new ResidualAccumulator
-      sc.register(acc, s"residual_$iter")
+      sc.register(acc) // unnamed: no per-superstep registry pinning
       val contribs: RDD[(Int, (Array[Int], Array[Double]))] =
         g.blocks.zipPartitions(ranks, preservesPartitioning = false) {
           (bIt, rIt) =>

@@ -75,15 +75,24 @@ class IncrementalPageRank(spark: SparkSession,
   private def streamDir: Option[String] = opts.checkpointDir.map(_ + "/stream")
 
   /** Split a micro-batch into (insertions, deletions): rows with an
-    * `op = 'del'` column are deletions; everything else inserts. */
+    * `op = 'del'` column are deletions; everything else inserts.
+    *
+    * Self-loop deletions are dropped HERE — before ANY consumer of the
+    * batch — because every vertex keeps its self-loop (engine invariant,
+    * /root/reference/main.cxx:127-128). Filtering only inside the CSR
+    * splice (as before r4) let the `edges` DataFrame and the carried CSR
+    * graph diverge on such a batch: a later refreeze (growth, resume) or
+    * the non-CSR path would then silently rank a different graph. */
   private def split(batch: DataFrame): (DataFrame, DataFrame) = {
     val b = batch
     // NULL op = insert (a plain (src,dst,seq) file read through the
     // op-aware stream schema must behave exactly like the op-less path).
-    if (b.columns.contains("op"))
-      (b.where(coalesce(col("op"), lit("ins")) =!= "del").select("src", "dst"),
-        b.where(col("op") === "del").select("src", "dst"))
-    else (b.select("src", "dst"), b.limit(0).select("src", "dst"))
+    val (ins, del) =
+      if (b.columns.contains("op"))
+        (b.where(coalesce(col("op"), lit("ins")) =!= "del").select("src", "dst"),
+          b.where(col("op") === "del").select("src", "dst"))
+      else (b.select("src", "dst"), b.limit(0).select("src", "dst"))
+    (ins, del.where(col("src") =!= col("dst")))
   }
 
   /** Grow the universe by the batch's novel endpoints. Returns true when it
@@ -138,12 +147,10 @@ class IncrementalPageRank(spark: SparkSession,
       } else if (opts.useCsr) {
         if (csrG == null) bootstrapCsr(x)
         val dyn = new CsrDynamic(spark, opts)
-        // splice contract: insertions absent from x, deletions present;
-        // self-loop deletions are excluded (engine-wide invariant — every
-        // vertex keeps its self-loop, /root/reference/main.cxx:127-128)
+        // splice contract: insertions absent from x, deletions present
+        // (self-loop deletions were already dropped in split())
         val insT = EdgeOps.tidyInsertions(ins, x)
-        val delT = EdgeOps.tidyDeletions(
-          del.where(col("src") =!= col("dst")), x)
+        val delT = EdgeOps.tidyDeletions(del, x)
         val (g2, run, st2) = dyn.applyBatch(csrG, csrSt, insT, delT,
           prune = false)
         csrG.blocks.unpersist(false)
@@ -203,9 +210,9 @@ class IncrementalPageRank(spark: SparkSession,
     var e: DataFrame = null
     for (i <- 0 until nBatches) {
       val b = spark.read.parquet(f"$dir/batch_$i%05d")
-      val ins = b.where(coalesce(col("op"), lit("ins")) =!= "del")
-        .select("src", "dst")
-      val del = b.where(col("op") === "del").select("src", "dst")
+      // same normalization as the live path (incl. the self-loop-deletion
+      // drop) so replayed state is bit-identical to pre-kill state
+      val (ins, del) = split(b)
       val grew = growUniverse(ins, del)
       e =
         if (e == null)

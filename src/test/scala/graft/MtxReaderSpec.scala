@@ -56,6 +56,16 @@ class MtxReaderSpec extends AnyFunSuite {
     assert(edges === Set((2L, 1L), (1L, 2L), (3L, 1L), (1L, 3L), (3L, 3L)))
   }
 
+  test("header parses past a 100-line leading comment block") {
+    val path = write(
+      Seq("%%MatrixMarket matrix coordinate pattern symmetric") ++
+        (1 to 100).map(i => s"% long SuiteSparse-style banner line $i") ++
+        Seq("3 3 2", "2 1", "3 1"))
+    val g = MtxReader.read(spark, path)
+    assert(g.symmetric && g.rows === 3 && g.size === 2)
+    assert(EdgeOps.simple(g.edges).count() === 4)
+  }
+
   test("PageRank over an MTX graph matches the in-memory oracle") {
     val rnd = new graft.ingest.SplitMix64(11L)
     val n = 9L
