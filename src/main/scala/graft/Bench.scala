@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.graph.EdgeOps
+import graft.util.Ckpt._
 import graft.ingest.WebGraphFixture
 import graft.model.PagerankOptions
 import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
+import graft.pagerank.CsrPageRank.CsrGraph
+import graft.pagerank.CsrDynamic.CsrState
 
 /** Benchmark main — prints ONE JSON line.
   *
@@ -14,18 +17,24 @@ import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
   * superstep, with throughput scaling efficiency ≥ 0.8 from N to 4N
   * parallelism. No real cluster exists in this sandbox, so the
   * two-cluster-size criterion is evidenced by running the identical job at
-  * local[8] (N) and local[32] (4N) on the same deterministic fixture
-  * (protocol in BASELINE.md; mirrors the reference's thread-doubling
-  * scaling, /root/reference/README.md:20).
+  * local[N] and local[4N] on the same deterministic fixture (protocol in
+  * BASELINE.md; mirrors the reference's thread-doubling scaling,
+  * /root/reference/README.md:20).
   *
-  * Protocol notes (round 3 — making the numbers trustworthy on a noisy
-  * single box):
-  *  - Scaling efficiency is the MEDIAN of per-PAIR ratios: each pair is an
-  *    (8-core run, 32-core run) measured back-to-back, so slow-hour box
-  *    noise hits both sides of a ratio instead of one (r1 recorded a bogus
-  *    1.37, r2 a bogus 0.578, from unpaired best-ofs). The fixture is
-  *    written to parquet once and re-read per session, so per-session setup
-  *    does not crowd out measurement.
+  * Protocol notes (round 4 — making the scaling number reproduce across
+  * INDEPENDENT re-runs on a noisy single box; r3's 3-pair protocol produced
+  * 0.907 in one run and 0.534 in the driver's re-run):
+  *  - each pair is an (N-core run, 4N-core run) measured back-to-back so
+  *    slow-hour noise hits both sides of a ratio;
+  *  - ONE full warmup pair runs first and is excluded from the median
+  *    (JVM JIT + page-cache fill were inflating whichever side ran first);
+  *  - pair ORDER ALTERNATES (N-first on odd pairs, 4N-first on even) so
+  *    monotone drift (thermal, background load) cancels across the median
+  *    instead of biasing one side;
+  *  - the default is SEVEN pairs (GRAFT_BENCH_PAIRS), median of per-pair
+  *    ratios, full pair list + per-side process-CPU utilization shipped so
+  *    a slow mode is diagnosable (stalling = busy-cores << cores;
+  *    bandwidth-bound = busy-cores ≈ cores but low throughput).
   *  - The dynamic experiment follows the reference loop exactly
   *    (/root/reference/main.cxx:47-107): per batch, a FRESH static baseline
   *    is run on the updated graph and every technique's L1 error is
@@ -34,14 +43,23 @@ import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
   *    wall/iters are recorded mid-run). Speedups are per-batch ratios —
   *    baseline and technique share the same minutes-window — summarized by
   *    their median.
+  *  - Round 4 adds the reference's batch-FRACTION axis
+  *    (/root/reference/main.sh:54-56, README.md:12: 1e-5/1e-4/1e-3·|E|):
+  *    after the oracled 1e-4 track, the SAME carried engines advance
+  *    through 1e-5 and 1e-3 slices with a per-batch 1e-10 static baseline
+  *    (timing only — the L1 evidence lives on the 1e-4 track).
   *  - The dynamic engine measured is [[CsrDynamic]] (the PagerankOptions
   *    .useCsr route of the public dynamicFrontier/Prune API, carried-state
-  *    form): O(frontier) supersteps, in-place CSR splice. The DataFrame-
+  *    form): O(frontier) push supersteps, in-place CSR splice, and the
+  *    driver-local tail for sub-threshold affected sets. The DataFrame-
   *    superstep dynamic variants are correctness-verified (DuckDB oracles,
-  *    ScalaTest) but are not a sane dynamic engine at any scale — each of
-  *    their supersteps materializes O(|V|) rows across 4-5 jobs regardless
-  *    of frontier size (measured r2: DF 0.97-2.49× vs static, floored) —
-  *    so the bench measures them only when GRAFT_BENCH_DF_BATCHES > 0.
+  *    ScalaTest) but floored at O(|V|) rows × 4-5 jobs per superstep —
+  *    measured only when GRAFT_BENCH_DF_BATCHES > 0.
+  *
+  * Emit contract (S6): stdout carries ONLY headline scalars (≤ ~1.5 KB —
+  * the round driver tails the last 2,000 chars of output; r3's 2,770-char
+  * line arrived decapitated and the official artifact recorded
+  * `parsed: null`). The full per-batch arrays ship in BENCH_LAST.json.
   */
 object Bench {
 
@@ -70,25 +88,37 @@ object Bench {
   }
 
   private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
+    val s = xs.filterNot(_.isNaN).sorted
     if (s.isEmpty) Double.NaN
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   private def arr(xs: Seq[Double], fmt: String = "%.3f"): String =
-    xs.map(v => fmt.format(v)).mkString("[", ",", "]")
+    xs.map(v => if (v.isNaN) "null" else fmt.format(v)).mkString("[", ",", "]")
+
+  /** Whole-process CPU seconds (diagnosing stall vs bandwidth saturation). */
+  private def procCpuSecs(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => Double.NaN
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    if (sys.env.get("GRAFT_BENCH_ENDURANCE").contains("1")) {
+      enduranceMain(cpus)
+      return
+    }
     // Sized so per-superstep compute dominates scheduler fixed overhead at
-    // local[8] (≈62M edges, ≥30 s iteration phase) — the scaling-efficiency
+    // local[4] (≈62M edges, ≥30 s iteration phase) — the scaling-efficiency
     // measurement is meaningless when a superstep is all task-launch latency.
     val benchPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "12000000").toLong
     val convergePages = sys.env.getOrElse("GRAFT_BENCH_CONVERGE_PAGES", "4000000").toLong
     val throughputSteps = sys.env.getOrElse("GRAFT_BENCH_STEPS", "8").toInt
-    val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "3").toInt
+    val pairs = sys.env.getOrElse("GRAFT_BENCH_PAIRS", "7").toInt
     val weakPages = sys.env.getOrElse("GRAFT_BENCH_WEAK_PAGES",
       (benchPages / 10).toString).toLong
 
@@ -96,11 +126,11 @@ object Bench {
     val onlyScaling = sys.env.get("GRAFT_BENCH_ONLY_SCALING").contains("1")
 
     // ---- Phase 1: headline relational/text/graph queries on the sf dir ----
+    val headline = Seq("q_degree_distribution", "q_indegree", "q_triangle_count",
+      "q_pagerank_iter3", "q_dedup_exact", "q_token_count", "q_text_quality",
+      "q_minhash_lsh", "q_ann_bruteforce", "q_connected_components")
     if (!onlyScaling) {
       val s = session(cpus, forPagerank = false)
-      val headline = Seq("q_degree_distribution", "q_indegree", "q_triangle_count",
-        "q_pagerank_iter3", "q_dedup_exact", "q_token_count", "q_text_quality",
-        "q_minhash_lsh", "q_ann_bruteforce", "q_connected_components")
       headline.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val (_, dt) = time { fn(s, sfDir).collect() }
@@ -109,7 +139,7 @@ object Bench {
       }
     }
 
-    // ---- Phase 2: PageRank throughput at N (local[8]) and 4N (local[32]) --
+    // ---- Phase 2: PageRank throughput at N and 4N cores ------------------
     // The fixture (with self-loops) is materialized to parquet ONCE so each
     // measurement session pays a parquet scan, not a 74M-row generate+dedupe.
     val fixtureDir = java.nio.file.Files
@@ -135,13 +165,16 @@ object Bench {
     }
 
     /** One measured throughput run: `throughputSteps` full supersteps on the
-      * parquet fixture (tolerance 0 = stop rule off, pure sweep). */
+      * parquet fixture (tolerance 0 = stop rule off, pure sweep).
+      * @return (edges/sec/superstep, compute secs, |E|, busy-cores) */
     def throughputRun(cores: Int, useCsr: Boolean, dir: String)
-        : (Double, Double, Long) = {
+        : (Double, Double, Long, Double) = {
       val s = session(cores, forPagerank = true)
       val y = s.read.parquet(dir).cache()
       val nEdges = y.count()
       val opts = PagerankOptions(tolerance = 0.0, maxIterations = throughputSteps)
+      val cpu0 = procCpuSecs()
+      val w0 = System.nanoTime()
       val sec =
         if (!useCsr) {
           val pr = new PageRank(s, opts)
@@ -152,32 +185,48 @@ object Bench {
           val g = c.build(y)
           c.staticOnGraph(g).stats.computeTimeMs / 1e3
         }
-      (nEdges.toDouble * throughputSteps / sec, sec, nEdges)
+      val wall = (System.nanoTime() - w0) / 1e9
+      val busyCores = (procCpuSecs() - cpu0) / math.max(wall, 1e-9)
+      // settle between measurements: let the ContextCleaner drain and the
+      // heap quiesce so one run's teardown doesn't bill the next run
+      s.stop()
+      System.gc()
+      Thread.sleep(1000)
+      (nEdges.toDouble * throughputSteps / sec, sec, nEdges, busyCores)
     }
 
-    // paired N/4N DataFrame measurements → median of per-pair efficiencies.
-    // Default operating point 4→16 cores: this box saturates its SINGLE
-    // memory bus near 32 threads (a real cluster adds a bus per executor),
-    // so the 8→32 ratio measures the box's bandwidth ceiling, not the
-    // engine. Both points ship: pairs at N→4N, plus one paired 8→32
-    // measurement (`eff_8_32`) that also supplies the headline local[32]
-    // throughput.
     val coresN = sys.env.getOrElse("GRAFT_BENCH_CORES_N", "4").toInt
     val cores4N = sys.env.getOrElse("GRAFT_BENCH_CORES_4N", (coresN * 4).toString).toInt
-    val pairResults = (1 to pairs).map { i =>
-      val (thrN, secN, _) = throughputRun(coresN, useCsr = false, fixtureDir)
-      val (thr4N, sec4N, nE) = throughputRun(cores4N, useCsr = false, fixtureDir)
-      qTimes(s"pagerank_throughput_local${coresN}_p$i") = secN
-      qTimes(s"pagerank_throughput_local${cores4N}_p$i") = sec4N
-      (thrN, thr4N, thr4N / (4.0 * thrN), nE)
-    }
-    val nE = pairResults.head._4
+
+    /** One back-to-back pair; `nFirst` controls order (alternated by the
+      * caller to cancel monotone drift). */
+    def measurePair(nFirst: Boolean): (Double, Double, Long, Double, Double) =
+      if (nFirst) {
+        val (thrN, _, _, busyN) = throughputRun(coresN, useCsr = false, fixtureDir)
+        val (thr4N, _, nE, busy4N) = throughputRun(cores4N, useCsr = false, fixtureDir)
+        (thrN, thr4N, nE, busyN, busy4N)
+      } else {
+        val (thr4N, _, nE, busy4N) = throughputRun(cores4N, useCsr = false, fixtureDir)
+        val (thrN, _, _, busyN) = throughputRun(coresN, useCsr = false, fixtureDir)
+        (thrN, thr4N, nE, busyN, busy4N)
+      }
+
+    // warmup pair: measured and shipped, EXCLUDED from the median
+    val warm = measurePair(nFirst = true)
+    val effWarmup = warm._2 / (4.0 * warm._1)
+    val pairResults = (1 to pairs).map(i => measurePair(nFirst = i % 2 == 1))
+    val nE = pairResults.head._3
+    val effPairs = pairResults.map(p => p._2 / (4.0 * p._1))
+    val efficiency = median(effPairs)
     val thrNBest = pairResults.map(_._1).max
     val thr4NBest = pairResults.map(_._2).max
-    val efficiency = median(pairResults.map(_._3))
-    // the bus-saturated 8→32 point, one back-to-back pair
-    val (thr8, sec8, _) = throughputRun(8, useCsr = false, fixtureDir)
-    val (thr32Best, sec32, _) = throughputRun(32, useCsr = false, fixtureDir)
+    val busyN = median(pairResults.map(_._4))
+    val busy4N = median(pairResults.map(_._5))
+
+    // the bus-saturated 8→32 point, one back-to-back pair; 32-core side also
+    // supplies the headline local[32] throughput
+    val (thr8, sec8, _, _) = throughputRun(8, useCsr = false, fixtureDir)
+    val (thr32Best, sec32, _, _) = throughputRun(32, useCsr = false, fixtureDir)
     qTimes("pagerank_throughput_local8") = sec8
     qTimes("pagerank_throughput_local32") = sec32
     val eff832 = thr32Best / (4.0 * thr8)
@@ -186,51 +235,83 @@ object Bench {
     // size-scaling point (fixed 32 cores, |E| × ~10) — the local-box
     // evidence axis for the CSR engine, whose sub-second supersteps
     // saturate the single shared memory bus before 32 cores.
-    val (csr8, csrSec8, _) = throughputRun(8, useCsr = true, fixtureDir)
-    val (csr32, csrSec32, _) = throughputRun(32, useCsr = true, fixtureDir)
-    val (csrSmall32, csrSmallSec, weakEdges) =
+    val (csr8, csrSec8, _, _) = throughputRun(8, useCsr = true, fixtureDir)
+    val (csr32, csrSec32, _, _) = throughputRun(32, useCsr = true, fixtureDir)
+    val (csrSmall32, csrSmallSec, weakEdges, _) =
       throughputRun(32, useCsr = true, weakDir)
     qTimes("pagerank_csr_local8") = csrSec8
     qTimes("pagerank_csr_local32") = csrSec32
     qTimes("pagerank_csr_local32_small") = csrSmallSec
     val csrSizeEff = csr32 / csrSmall32
 
-    def scalingJson: String =
-      s""""bench_pages":$benchPages,"bench_edges":$nE,""" +
-        s""""cores_n":$coresN,"cores_4n":$cores4N,""" +
-        s""""throughput_n":${thrNBest.round},"throughput_4n":${thr4NBest.round},""" +
-        s""""eff_pairs":${arr(pairResults.map(_._3))},""" +
-        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
-        s""""throughput_local8":${thr8.round},"throughput_local32":${thr32Best.round},""" +
-        f""""eff_8_32_bus_saturated":$eff832%.3f,""" +
-        s""""csr_throughput_local8":${csr8.round},"csr_throughput_local32":${csr32.round},""" +
-        s""""csr_small_edges":$weakEdges,"csr_small_throughput_local32":${csrSmall32.round},""" +
-        f""""csr_size_scaling_eff":$csrSizeEff%.3f,""" +
-        f""""csr_speedup_vs_dataframe":${csr32 / thr32Best}%.2f"""
+    // (key, rendered value, compact?) — compact fields go to stdout AND the
+    // mirror file; the rest only to BENCH_LAST.json.
+    val fields = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
+    def put(k: String, v: String, compact: Boolean = true): Unit =
+      fields += ((k, v, compact))
+
+    put("metric", "\"edges_per_sec_per_superstep_local32\"")
+    put("value", thr32Best.round.toString)
+    put("unit", "\"edges/sec/superstep\"")
+    put("sf", "\"" + sfDir + "\"")
+    put("bench_pages", benchPages.toString)
+    put("bench_edges", nE.toString)
+    put("cores_n", coresN.toString)
+    put("cores_4n", cores4N.toString)
+    put("throughput_n", thrNBest.round.toString)
+    put("throughput_4n", thr4NBest.round.toString)
+    put("eff_warmup", f"$effWarmup%.3f")
+    put("eff_pairs", arr(effPairs))
+    put("scaling_efficiency_n_to_4n", f"$efficiency%.3f")
+    put("cpu_busy_cores_n", f"$busyN%.1f")
+    put("cpu_busy_cores_4n", f"$busy4N%.1f")
+    put("throughput_local8", thr8.round.toString)
+    put("throughput_local32", thr32Best.round.toString)
+    put("eff_8_32_bus_saturated", f"$eff832%.3f")
+    put("csr_throughput_local8", csr8.round.toString)
+    put("csr_throughput_local32", csr32.round.toString)
+    put("csr_small_edges", weakEdges.toString, compact = false)
+    put("csr_small_throughput_local32", csrSmall32.round.toString, compact = false)
+    put("csr_size_scaling_eff", f"$csrSizeEff%.3f")
+    put("csr_speedup_vs_dataframe", f"${csr32 / thr32Best}%.2f")
 
     if (onlyScaling) {
-      emit(s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32Best.round},""" +
-        s""""unit":"edges/sec/superstep",$scalingJson}""")
+      put("queries", qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}"), compact = false)
+      emit(fields.toSeq)
       SparkSession.getActiveSession.foreach(_.stop())
       return
     }
 
     // ---- Phase 3: the reference's dynamic batch experiment, CSR engine ----
-    // (/root/reference/main.cxx:47-107, main.sh:21: insertion batches of
-    // batchFraction·|E|, ranks carried forward per technique, per-batch
-    // fresh static baseline + 1e-100-style oracle on the updated graph.)
+    // (/root/reference/main.cxx:47-107, main.sh:21,54-56: insertion batches
+    // of batchFraction·|E|, ranks carried per technique, per-batch fresh
+    // static baseline + high-precision oracle on the updated graph.)
     val nBatches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "10").toInt
+    val sweepBatches = sys.env.getOrElse("GRAFT_BENCH_SWEEP_BATCHES", "5").toInt
     val oracleTol = 1e-15 // per-vertex error ≤ tol/(1−P) ⇒ L1 ≤ |V|·6.7e-15
     val s = session(cpus, forPagerank = true)
     val staged = WebGraphFixture.edgesOnly(s, convergePages).toDF().cache()
     val m = staged.count()
-    val batchLen = math.max(1L, (m * 1e-4).toLong)
-    val cut0 = m - nBatches * batchLen
+
+    // batch schedule: the oracled 1e-4 track, then the reference's fraction
+    // sweep (1e-5 smallest-batch regime first — it is the most
+    // scheduling-sensitive — then 1e-3)
+    val schedule: Seq[(Double, Int, Boolean)] =
+      Seq((1e-4, nBatches, true)) ++
+        (if (sweepBatches > 0) Seq((1e-5, sweepBatches, false),
+          (1e-3, sweepBatches, false))
+        else Seq.empty)
+    val sliceLens: Seq[Long] = schedule.flatMap { case (f, n, _) =>
+      Seq.fill(n)(math.max(1L, (m * f).toLong))
+    }
+    val totalTail = sliceLens.sum
+    val cut0 = m - totalTail
     // seq is sparse (k*64+pos): translate row-count cuts into seq cuts with
-    // per-cut quantiles over the ordered stream (exact, one pass).
+    // per-cut quantiles over the ordered stream (exact enough, one pass).
     val cuts: IndexedSeq[Long] = {
-      val fracs = (0 to nBatches).map(i =>
-        (cut0 + i.toLong * batchLen).toDouble / m)
+      val cumRows = sliceLens.scanLeft(cut0)(_ + _)
+      val fracs = cumRows.map(_.toDouble / m)
       val row = staged.agg(expr(
         s"approx_percentile(seq, array(${fracs.mkString(",")}), 1000000)"))
         .collect()(0).getSeq[Long](0)
@@ -255,6 +336,8 @@ object Bench {
     val dyn = new CsrDynamic(s)
     val csr = new CsrPageRank(s)
     val oracleCsr = new CsrPageRank(s, PagerankOptions(tolerance = oracleTol))
+    val tailRuns0 = CsrDynamic.localTailRuns.get()
+    val tailIters0 = CsrDynamic.localTailIters.get()
     val ((g0, csrStaticRun, st0), tCsrStatic) = time {
       val g = csr.build(x0)
       val (run, st) = dyn.staticWithState(g)
@@ -269,19 +352,28 @@ object Bench {
 
     /** L1 distance between a carried state's ranks and aligned oracle rank
       * blocks (same partitioner, same sorted srcs — one tiny job). */
-    def l1Err(st: org.apache.spark.rdd.RDD[CsrDynamic.CsrState],
+    def l1Err(st: org.apache.spark.rdd.RDD[CsrState],
         oracle: org.apache.spark.rdd.RDD[Array[Double]]): Double =
       st.zipPartitions(oracle) { (aIt, bIt) =>
         val a = aIt.next().rank
         val b = bIt.next()
-        var s = 0.0
+        var sum = 0.0
         var i = 0
-        while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
-        Iterator.single(s)
+        while (i < a.length) { sum += math.abs(a(i) - b(i)); i += 1 }
+        Iterator.single(sum)
       }.sum()
 
     var gDf = g0; var stDf = st0
     var gDfp = g0; var stDfp = st0
+    // per-fraction accumulators: fraction -> (stat, df, dfp, dfIters, dfpIters)
+    final case class FracAcc(
+        stat: scala.collection.mutable.ArrayBuffer[Double] =
+          scala.collection.mutable.ArrayBuffer.empty,
+        df: scala.collection.mutable.ArrayBuffer[Double] =
+          scala.collection.mutable.ArrayBuffer.empty,
+        dfp: scala.collection.mutable.ArrayBuffer[Double] =
+          scala.collection.mutable.ArrayBuffer.empty)
+    val fracAcc = scala.collection.mutable.LinkedHashMap[Double, FracAcc]()
     val statSecs = new scala.collection.mutable.ArrayBuffer[Double]
     val oracleSecs = new scala.collection.mutable.ArrayBuffer[Double]
     val csrDfSecs = new scala.collection.mutable.ArrayBuffer[Double]
@@ -292,48 +384,82 @@ object Bench {
     val l1Dfp = new scala.collection.mutable.ArrayBuffer[Double]
     var csrDfIters, csrDfpIters, statIters = 0
     var xEdges = x0
-    for (b <- 0 until nBatches) {
-      val ins = batchIns(b, xEdges).cache()
-      ins.count()
-      val none = ins.limit(0)
-      // techniques first (same minutes-window as their baseline below)
-      val ((gDf2, csrDfRun, stDf2), tD) =
-        time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
-      csrDfSecs += tD; csrDfIters += csrDfRun.stats.iterations
-      csrDfComputeSecs += csrDfRun.stats.computeTimeMs / 1e3
-      val ((gDfp2, csrDfpRun, stDfp2), tP) =
-        time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
-      csrDfpSecs += tP; csrDfpIters += csrDfpRun.stats.iterations
-      csrDfpComputeSecs += csrDfpRun.stats.computeTimeMs / 1e3
-      // fresh static baseline + oracle on the updated graph (one run: the
-      // 1e-10 crossing is the baseline, the 1e-15 tail is the oracle)
-      val ((_, oracleRanks, crossSecs, crossIts), tOracle) =
-        time(oracleCsr.staticDetailed(gDf2, crossTol = 1e-10))
-      statSecs += crossSecs
-      statIters += crossIts
-      oracleSecs += tOracle
-      l1Df += l1Err(stDf2, oracleRanks)
-      l1Dfp += l1Err(stDfp2, oracleRanks)
-      oracleRanks.unpersist(false)
-      if (b > 0) { // b=0 inputs are the shared g0/st0
-        gDf.blocks.unpersist(false); stDf.unpersist(false)
-        gDfp.blocks.unpersist(false); stDfp.unpersist(false)
+    var b = 0
+    var firstBatch = true
+    schedule.foreach { case (fraction, count, withOracle) =>
+      val acc = fracAcc.getOrElseUpdate(fraction, FracAcc())
+      for (_ <- 0 until count) {
+        val ins = batchIns(b, xEdges).cache()
+        ins.count()
+        val none = ins.limit(0)
+        // techniques first (same minutes-window as their baseline below)
+        val ((gDf2, csrDfRun, stDf2), tD) =
+          time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
+        val ((gDfp2, csrDfpRun, stDfp2), tP) =
+          time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
+        acc.df += tD
+        acc.dfp += tP
+        if (withOracle) {
+          csrDfSecs += tD; csrDfIters += csrDfRun.stats.iterations
+          csrDfComputeSecs += csrDfRun.stats.computeTimeMs / 1e3
+          csrDfpSecs += tP; csrDfpIters += csrDfpRun.stats.iterations
+          csrDfpComputeSecs += csrDfpRun.stats.computeTimeMs / 1e3
+          // fresh static baseline + oracle on the updated graph (one run:
+          // the 1e-10 crossing is the baseline, the 1e-15 tail the oracle)
+          val ((_, oracleRanks, crossSecs, crossIts), tOracle) =
+            time(oracleCsr.staticDetailed(gDf2, crossTol = 1e-10))
+          if (crossIts >= 0) {
+            statSecs += crossSecs
+            statIters += crossIts
+            acc.stat += crossSecs
+          } else {
+            // never crossed 1e-10 before maxIterations — do NOT fold -1
+            // into the aggregates (ADVICE r3); record the hole as NaN
+            System.err.println(s"[bench] batch $b: oracle run never crossed 1e-10")
+            statSecs += Double.NaN
+            acc.stat += Double.NaN
+          }
+          oracleSecs += tOracle
+          l1Df += l1Err(stDf2, oracleRanks)
+          l1Dfp += l1Err(stDfp2, oracleRanks)
+          oracleRanks.unpersist(false)
+        } else {
+          // timing-only baseline at the engine's own 1e-10 tolerance
+          val ((_, baseRanks, _, _), tBase) =
+            time(csr.staticDetailed(gDf2, crossTol = 0.0))
+          baseRanks.unpersist(false)
+          acc.stat += tBase
+        }
+        if (!firstBatch) { // the first batch's inputs are the shared g0/st0
+          gDf.blocks.unpersist(false); stDf.unpersist(false)
+          gDfp.blocks.unpersist(false); stDfp.unpersist(false)
+        }
+        gDf = gDf2; stDf = stDf2
+        gDfp = gDfp2; stDfp = stDfp2
+        // ckpt (not cache): the carried plan/lineage would otherwise deepen
+        // by one batch per batch — quadratic analysis cost over long streams
+        val nextX = EdgeOps.applyBatch(xEdges, ins, none).ckpt()
+        xEdges = nextX
+        ins.unpersist()
+        if ((b + 1) % 10 == 0) {
+          gDf.blocks.localCheckpoint().count()
+          stDf.localCheckpoint().count()
+          gDfp.blocks.localCheckpoint().count()
+          stDfp.localCheckpoint().count()
+        }
+        firstBatch = false
+        b += 1
       }
-      gDf = gDf2; stDf = stDf2
-      gDfp = gDfp2; stDfp = stDfp2
-      val nextX = EdgeOps.applyBatch(xEdges, ins, none).cache()
-      nextX.count()
-      if (b > 0) xEdges.unpersist()
-      xEdges = nextX
-      ins.unpersist()
     }
     val dfSpeedups = statSecs.zip(csrDfSecs).map { case (st, t) => st / t }
     val dfpSpeedups = statSecs.zip(csrDfpSecs).map { case (st, t) => st / t }
     val dfSpeedupMed = median(dfSpeedups.toSeq)
     val dfpSpeedupMed = median(dfpSpeedups.toSeq)
-    qTimes("pagerank_csr_df_converge") = csrDfSecs.sum / math.max(1, csrDfSecs.size)
-    qTimes("pagerank_csr_dfp_converge") = csrDfpSecs.sum / math.max(1, csrDfpSecs.size)
-    qTimes("pagerank_csr_static_per_batch") = statSecs.sum / math.max(1, statSecs.size)
+    qTimes("pagerank_csr_df_per_batch") = median(csrDfSecs.toSeq)
+    qTimes("pagerank_csr_dfp_per_batch") = median(csrDfpSecs.toSeq)
+    qTimes("pagerank_csr_static_per_batch") = median(statSecs.toSeq)
+    val tailRuns = CsrDynamic.localTailRuns.get() - tailRuns0
+    val tailIters = CsrDynamic.localTailIters.get() - tailIters0
 
     // ---- Optional: legacy DataFrame-superstep dynamic track --------------
     val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
@@ -344,8 +470,8 @@ object Bench {
       var prevDf = dfStaticRun.ranks
       var prevDfp = dfStaticRun.ranks
       var xLinks = ls.links.select("src", "dst")
-      for (b <- 0 until math.min(dfBatches, nBatches)) {
-        val ins = batchIns(b, xLinks).cache()
+      for (bb <- 0 until math.min(dfBatches, nBatches)) {
+        val ins = batchIns(bb, xLinks).cache()
         val none = ins.limit(0)
         val lsY = pr.updateLinks(ls, ins, none)
         val yLinks = lsY.links.select("src", "dst")
@@ -365,52 +491,191 @@ object Bench {
       qTimes("pagerank_dfp_converge") = dfpSecs.sum / dfpSecs.size
     }
 
-    val qs = qTimes.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val legacyDfJson =
-      if (dfBatches <= 0) ""
-      else
-        s""""df_batch_secs":${arr(dfSecs.toSeq)},""" +
-          s""""dfp_batch_secs":${arr(dfpSecs.toSeq)},""" +
-          f""""df_avg_iters":${dfIters.toDouble / math.max(1, dfSecs.size)}%.1f,""" +
-          f""""dfp_avg_iters":${dfpIters.toDouble / math.max(1, dfpSecs.size)}%.1f,"""
-    val json =
-      s"""{"metric":"edges_per_sec_per_superstep_local32","value":${thr32Best.round},""" +
-        s""""unit":"edges/sec/superstep","queries":$qs,"sf":"$sfDir",""" +
-        scalingJson + "," +
-        s""""dataframe_static_converge_secs":$tDfStatic,""" +
-        s""""static_converge_iters":${dfStaticRun.stats.iterations},""" +
-        s""""n_batches":$nBatches,"batch_edges":$batchLen,""" +
-        s""""csr_static_base_secs":$tCsrStatic,""" +
-        s""""csr_static_converge_iters":${csrStaticRun.stats.iterations},""" +
-        s""""csr_static_batch_secs":${arr(statSecs.toSeq)},""" +
-        s""""csr_oracle_batch_secs":${arr(oracleSecs.toSeq)},""" +
-        f""""csr_static_avg_iters":${statIters.toDouble / math.max(1, nBatches)}%.1f,""" +
-        s""""csr_df_batch_secs":${arr(csrDfSecs.toSeq)},""" +
-        s""""csr_dfp_batch_secs":${arr(csrDfpSecs.toSeq)},""" +
-        s""""csr_df_compute_secs":${arr(csrDfComputeSecs.toSeq)},""" +
-        s""""csr_dfp_compute_secs":${arr(csrDfpComputeSecs.toSeq)},""" +
-        f""""csr_df_avg_iters":${csrDfIters.toDouble / math.max(1, nBatches)}%.1f,""" +
-        f""""csr_dfp_avg_iters":${csrDfpIters.toDouble / math.max(1, nBatches)}%.1f,""" +
-        s""""l1_err_df":${arr(l1Df.toSeq, "%.3e")},""" +
-        s""""l1_err_dfp":${arr(l1Dfp.toSeq, "%.3e")},""" +
-        s""""csr_df_speedup_per_batch":${arr(dfSpeedups.toSeq, "%.2f")},""" +
-        s""""csr_dfp_speedup_per_batch":${arr(dfpSpeedups.toSeq, "%.2f")},""" +
-        f""""csr_df_speedup_vs_csr_static":$dfSpeedupMed%.2f,""" +
-        f""""csr_dfp_speedup_vs_csr_static":$dfpSpeedupMed%.2f,""" +
-        legacyDfJson +
-        f""""csr_df_speedup_vs_df_static":${tDfStatic / median(csrDfSecs.toSeq)}%.2f,""" +
-        f""""csr_dfp_speedup_vs_df_static":${tDfStatic / median(csrDfpSecs.toSeq)}%.2f}"""
-    emit(json)
+    // ---- compact scalars (stdout + file) ---------------------------------
+    put("queries", headline.flatMap(k => qTimes.get(k).map(v =>
+      "\"" + k + f"""\":$v%.3f""")).mkString("{", ",", "}"))
+    put("dataframe_static_converge_secs", f"$tDfStatic%.1f")
+    put("static_converge_iters", dfStaticRun.stats.iterations.toString)
+    put("n_batches", nBatches.toString)
+    put("batch_edges", sliceLens.head.toString)
+    put("csr_df_speedup_vs_csr_static", f"$dfSpeedupMed%.2f")
+    put("csr_dfp_speedup_vs_csr_static", f"$dfpSpeedupMed%.2f")
+    put("csr_df_speedup_vs_df_static",
+      f"${tDfStatic / median(csrDfSecs.toSeq)}%.2f")
+    put("csr_dfp_speedup_vs_df_static",
+      f"${tDfStatic / median(csrDfpSecs.toSeq)}%.2f")
+    put("l1_err_df_max", f"${if (l1Df.isEmpty) Double.NaN else l1Df.max}%.3e")
+    put("l1_err_dfp_max", f"${if (l1Dfp.isEmpty) Double.NaN else l1Dfp.max}%.3e")
+    fracAcc.foreach { case (f, acc2) =>
+      val tag = if (f >= 1e-3) "1e3" else if (f >= 1e-4) "1e4" else "1e5"
+      val dfMed = median(acc2.stat.toSeq.zip(acc2.df.toSeq).map(p => p._1 / p._2))
+      val dfpMed = median(acc2.stat.toSeq.zip(acc2.dfp.toSeq).map(p => p._1 / p._2))
+      put(s"csr_df_speedup_frac_$tag", f"$dfMed%.2f")
+      put(s"csr_dfp_speedup_frac_$tag", f"$dfpMed%.2f")
+    }
+    put("local_tail_runs", tailRuns.toString)
+    put("local_tail_iters", tailIters.toString)
+
+    // ---- full-file-only arrays -------------------------------------------
+    put("all_query_secs", qTimes.map { case (k, v) =>
+      "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}"), compact = false)
+    put("csr_static_base_secs", f"$tCsrStatic%.3f", compact = false)
+    put("csr_static_converge_iters",
+      csrStaticRun.stats.iterations.toString, compact = false)
+    put("csr_static_batch_secs", arr(statSecs.toSeq), compact = false)
+    put("csr_oracle_batch_secs", arr(oracleSecs.toSeq), compact = false)
+    put("csr_static_avg_iters",
+      f"${statIters.toDouble / math.max(1, nBatches)}%.1f", compact = false)
+    put("csr_df_batch_secs", arr(csrDfSecs.toSeq), compact = false)
+    put("csr_dfp_batch_secs", arr(csrDfpSecs.toSeq), compact = false)
+    put("csr_df_compute_secs", arr(csrDfComputeSecs.toSeq), compact = false)
+    put("csr_dfp_compute_secs", arr(csrDfpComputeSecs.toSeq), compact = false)
+    put("csr_df_avg_iters",
+      f"${csrDfIters.toDouble / math.max(1, nBatches)}%.1f", compact = false)
+    put("csr_dfp_avg_iters",
+      f"${csrDfpIters.toDouble / math.max(1, nBatches)}%.1f", compact = false)
+    put("l1_err_df", arr(l1Df.toSeq, "%.3e"), compact = false)
+    put("l1_err_dfp", arr(l1Dfp.toSeq, "%.3e"), compact = false)
+    put("csr_df_speedup_per_batch", arr(dfSpeedups.toSeq, "%.2f"), compact = false)
+    put("csr_dfp_speedup_per_batch", arr(dfpSpeedups.toSeq, "%.2f"), compact = false)
+    fracAcc.foreach { case (f, acc2) =>
+      val tag = if (f >= 1e-3) "1e3" else if (f >= 1e-4) "1e4" else "1e5"
+      put(s"frac_${tag}_static_secs", arr(acc2.stat.toSeq), compact = false)
+      put(s"frac_${tag}_df_secs", arr(acc2.df.toSeq), compact = false)
+      put(s"frac_${tag}_dfp_secs", arr(acc2.dfp.toSeq), compact = false)
+    }
+    if (dfBatches > 0) {
+      put("df_batch_secs", arr(dfSecs.toSeq), compact = false)
+      put("dfp_batch_secs", arr(dfpSecs.toSeq), compact = false)
+      put("df_avg_iters",
+        f"${dfIters.toDouble / math.max(1, dfSecs.size)}%.1f", compact = false)
+      put("dfp_avg_iters",
+        f"${dfpIters.toDouble / math.max(1, dfpSecs.size)}%.1f", compact = false)
+    }
+    emit(fields.toSeq)
     s.stop()
   }
 
-  /** The driver contract: ONE bare JSON line on stdout; also mirrored to
-    * BENCH_LAST.json for post-hoc inspection. */
-  private def emit(json: String): Unit = {
-    println(json)
+  /** Endurance mode (GRAFT_BENCH_ENDURANCE=1): the reference's
+    * BATCH_LENGTH=100 regime (/root/reference/main.sh:21) on the carried
+    * CSR engine — 100 batches of 1e-5·|E| insertions, L1 error vs a fresh
+    * 1e-15 oracle every `sampleEvery` batches. The claim under test: the
+    * terminal S-delta fold keeps the carried "exact S" invariant from
+    * drifting, so the sampled L1 stays FLAT across the stream. */
+  private def enduranceMain(cpus: Int): Unit = {
+    val pages = sys.env.getOrElse("GRAFT_BENCH_CONVERGE_PAGES", "1000000").toLong
+    val nBatches = sys.env.getOrElse("GRAFT_BENCH_BATCHES", "100").toInt
+    val sampleEvery = sys.env.getOrElse("GRAFT_BENCH_SAMPLE_EVERY", "10").toInt
+    val fraction = 1e-5
+    val s = session(cpus, forPagerank = true)
+    val staged = WebGraphFixture.edgesOnly(s, pages).toDF().cache()
+    val m = staged.count()
+    val batchLen = math.max(1L, (m * fraction).toLong)
+    val cut0 = m - nBatches.toLong * batchLen
+    val cuts: IndexedSeq[Long] = {
+      val fracs = (0 to nBatches).map(i => (cut0 + i.toLong * batchLen).toDouble / m)
+      val row = staged.agg(expr(
+        s"approx_percentile(seq, array(${fracs.mkString(",")}), 1000000)"))
+        .collect()(0).getSeq[Long](0)
+      row.toIndexedSeq.init :+ Long.MaxValue
+    }
+    val verts = s.range(pages).select(col("id"))
+    val x0 = EdgeOps.withSelfLoops(
+      staged.where(col("seq") < cuts(0)).select("src", "dst"), verts).cache()
+    val dyn = new CsrDynamic(s)
+    val csr = new CsrPageRank(s)
+    val oracleCsr = new CsrPageRank(s, PagerankOptions(tolerance = 1e-15))
+    val g0 = csr.build(x0)
+    val (_, st0) = dyn.staticWithState(g0)
+    var gDf = g0; var stDf = st0
+    var gDfp = g0; var stDfp = st0
+    var xEdges = x0
+    val dfSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val dfpSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    val sampleBatch = new scala.collection.mutable.ArrayBuffer[Int]
+    val l1Df = new scala.collection.mutable.ArrayBuffer[Double]
+    val l1Dfp = new scala.collection.mutable.ArrayBuffer[Double]
+    def l1(st: org.apache.spark.rdd.RDD[CsrState],
+        oracle: org.apache.spark.rdd.RDD[Array[Double]]): Double =
+      st.zipPartitions(oracle) { (aIt, bIt) =>
+        val a = aIt.next().rank
+        val o = bIt.next()
+        var sum = 0.0
+        var i = 0
+        while (i < a.length) { sum += math.abs(a(i) - o(i)); i += 1 }
+        Iterator.single(sum)
+      }.sum()
+    for (b <- 0 until nBatches) {
+      val ins = staged
+        .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
+        .select("src", "dst").dropDuplicates("src", "dst")
+        .join(xEdges, Seq("src", "dst"), "left_anti").cache()
+      ins.count()
+      val none = ins.limit(0)
+      val ((gDf2, _, stDf2), tD) =
+        time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
+      val ((gDfp2, _, stDfp2), tP) =
+        time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
+      dfSecs += tD; dfpSecs += tP
+      if ((b + 1) % sampleEvery == 0 || b == nBatches - 1) {
+        val (_, oracleRanks, _, _) = oracleCsr.staticDetailed(gDf2, crossTol = 0.0)
+        sampleBatch += b
+        l1Df += l1(stDf2, oracleRanks)
+        l1Dfp += l1(stDfp2, oracleRanks)
+        oracleRanks.unpersist(false)
+      }
+      if (b > 0) {
+        gDf.blocks.unpersist(false); stDf.unpersist(false)
+        gDfp.blocks.unpersist(false); stDfp.unpersist(false)
+      }
+      gDf = gDf2; stDf = stDf2; gDfp = gDfp2; stDfp = stDfp2
+      xEdges = EdgeOps.applyBatch(xEdges, ins, none).ckpt()
+      ins.unpersist()
+      if ((b + 1) % 10 == 0) {
+        // truncate the carried RDD chains (state/block lineage deepens by
+        // one zipPartitions per batch — serialization cost grows unbounded)
+        gDf.blocks.localCheckpoint().count()
+        stDf.localCheckpoint().count()
+        gDfp.blocks.localCheckpoint().count()
+        stDfp.localCheckpoint().count()
+      }
+    }
+    val fields = Seq(
+      ("metric", "\"endurance_l1_drift\"", true),
+      ("value", f"${if (l1Df.isEmpty) Double.NaN else l1Df.max}%.3e", true),
+      ("unit", "\"l1_error\"", true),
+      ("pages", pages.toString, true),
+      ("n_batches", nBatches.toString, true),
+      ("batch_edges", batchLen.toString, true),
+      ("sample_batches", sampleBatch.mkString("[", ",", "]"), true),
+      ("l1_err_df", arr(l1Df.toSeq, "%.3e"), true),
+      ("l1_err_dfp", arr(l1Dfp.toSeq, "%.3e"), true),
+      ("df_secs_first10", arr(dfSecs.take(10).toSeq), true),
+      ("df_secs_last10", arr(dfSecs.takeRight(10).toSeq), true),
+      ("df_batch_secs", arr(dfSecs.toSeq), false),
+      ("dfp_batch_secs", arr(dfpSecs.toSeq), false))
+    emit(fields)
+    s.stop()
+  }
+
+  /** The driver contract: ONE bare JSON line on stdout — compact fields
+    * only, runtime-guarded under the driver's 2,000-char tail capture — and
+    * the FULL field set mirrored to BENCH_LAST.json. */
+  private def emit(fields: Seq[(String, String, Boolean)]): Unit = {
+    def render(fs: Seq[(String, String)]): String =
+      fs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    var compact = render(fields.filter(_._3).map(f => (f._1, f._2)))
+    if (compact.length > 1900) {
+      // hard guard: never ship a decapitated line (r3's parsed:null)
+      System.err.println(s"[bench] compact line ${compact.length} chars — " +
+        "dropping queries field to fit the 2000-char tail capture")
+      compact = render(fields.filter(f => f._3 && f._1 != "queries")
+        .map(f => (f._1, f._2)))
+    }
+    println(compact)
+    val full = render(fields.map(f => (f._1, f._2)))
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     catch { case _: Throwable => () }
   }
 }

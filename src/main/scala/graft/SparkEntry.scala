@@ -10,7 +10,7 @@ import graft.graph.EdgeOps
 import graft.ingest.WebGraphFixture
 import graft.model.PagerankOptions
 import graft.multimodal.Multimodal
-import graft.pagerank.PageRank
+import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
 import graft.text.TextOps
 
 /** Driver contract — queries + DuckDB oracle SQL (SURVEY.md §5, §7).
@@ -242,6 +242,49 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
     }),
 
+    // The CSR-routed PRUNE kernel (DF-P closed form + shrink rule inside
+    // CsrDynamic) under the hard signal — frontier and traversal CSR routes
+    // were oracled in r3, prune was ScalaTest-only.
+    "q_pagerank_csr_dfp" -> ((s, dir) => {
+      val (x, y, ins) = dynamicSplit(s, dir)
+      val pr = new PageRank(s, tightDynOpts(useCsr = true))
+      val prev = pr.static(x).ranks
+      pr.dynamicFrontierPrune(x, y, ins, ins.limit(0), prev).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // The carried-state form of the CSR engine: the batch is applied via
+    // CsrDynamic.applyBatch's in-place CSR SPLICE (no re-freeze of y) and
+    // re-converges from the carried (rank, S) state — the splice path
+    // itself (S-retraction/addition + DF marking emitted by spliceBlock)
+    // under the hard signal. Same fixpoint as the 200-round oracle.
+    "q_pagerank_csr_splice" -> ((s, dir) => {
+      val (x, _, ins) = dynamicSplit(s, dir)
+      val opts = tightDynOpts()
+      val dyn = new CsrDynamic(s, opts)
+      val g = new CsrPageRank(s, opts).build(x)
+      val (_, st0) = dyn.staticWithState(g)
+      val (_, run, _) = dyn.applyBatch(g, st0, ins, ins.limit(0), prune = false)
+      run.ranks.select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // Splice DELETION path + prune kernel from carried state: base = full
+    // graph, batch deletes the deterministic slice (self-loops never
+    // deleted); fixpoint = PageRank over (e EXCEPT slice) with the
+    // UNCHANGED vertex universe.
+    "q_pagerank_csr_splice_del" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val del = e.where((col("src") + col("dst")) % 17 === 0 &&
+        col("src") =!= col("dst"))
+      val x = EdgeOps.withSelfLoops(e, EdgeOps.vertices(e))
+      val opts = tightDynOpts()
+      val dyn = new CsrDynamic(s, opts)
+      val g = new CsrPageRank(s, opts).build(x)
+      val (_, st0) = dyn.staticWithState(g)
+      val (_, run, _) = dyn.applyBatch(g, st0, del.limit(0), del, prune = true)
+      run.ranks.select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
     "q_pagerank_web_static" -> ((s, dir) => {
       val (dict, staged) = webGraph(s, 400L)
       val y = EdgeOps.withSelfLoops(EdgeOps.simple(staged), dict.select("id"))
@@ -381,14 +424,14 @@ object SparkEntry {
        |  GROUP BY e.dst)""".stripMargin
 
   /** Converged PageRank oracle: 200 unrolled MATERIALIZED power-iteration
-    * rounds over derivedEdges+self-loops. Residual mass after k rounds is
-    * ~0.85^k: 100 rounds leaves ~9e-8 — close enough to flip a 6-dp digit on
-    * a rank near a 0.5e-6 rounding boundary; 200 rounds leaves ~8e-15, so
-    * the oracle matches any L∞<1e-10-converged engine path at 6 dp with
-    * orders of margin. */
-  private lazy val convergedPrSql: String =
-    s"""WITH edges0 AS ($edgesCte),
-       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0)),
+    * rounds over the graph defined by `prefix` (CTEs `edges0` = the raw
+    * edge set and `verts` = the vertex universe). Residual mass after k
+    * rounds is ~0.85^k: 100 rounds leaves ~9e-8 — close enough to flip a
+    * 6-dp digit on a rank near a 0.5e-6 rounding boundary; 200 rounds
+    * leaves ~8e-15, so the oracle matches any L∞<1e-10-converged engine
+    * path at 6 dp with orders of margin. */
+  private def convergedPrSqlFrom(prefix: String): String =
+    s"""WITH $prefix,
        |edges AS MATERIALIZED (SELECT src, dst FROM edges0 UNION SELECT v, v FROM verts),
        |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
        |n AS (SELECT count(*) AS n FROM verts),
@@ -397,6 +440,18 @@ object SparkEntry {
        |""".stripMargin +
       (1 to 200).map(i => prRoundSql(i - 1, i)).mkString(",\n") +
       "\nSELECT id, round(rank, 6) AS rank FROM r200 ORDER BY id"
+
+  private lazy val convergedPrSql: String = convergedPrSqlFrom(
+    s"""edges0 AS ($edgesCte),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION ALL SELECT dst FROM edges0))""".stripMargin)
+
+  /** Fixpoint over the graph AFTER deleting the deterministic slice — the
+    * vertex universe (and hence N, C0) stays that of the FULL edge set,
+    * exactly [[queries]]' q_pagerank_csr_splice_del semantics. */
+  private lazy val convergedPrDelSql: String = convergedPrSqlFrom(
+    s"""alledges AS ($edgesCte),
+       |edges0 AS (SELECT src, dst FROM alledges WHERE NOT ((src + dst) % 17 = 0 AND src <> dst)),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM alledges UNION ALL SELECT dst FROM alledges))""".stripMargin)
 
   /** DuckDB-equivalent SQL for the exactly-SQL-expressible queries above.
     * Column names/aliases match the Spark side 1:1 (driver hashes values
@@ -513,6 +568,39 @@ object SparkEntry {
     "q_pagerank_dfp" -> convergedPrSql,
     "q_pagerank_csr_frontier" -> convergedPrSql,
     "q_pagerank_csr_traversal" -> convergedPrSql,
+    "q_pagerank_csr_dfp" -> convergedPrSql,
+    "q_pagerank_csr_splice" -> convergedPrSql,
+    "q_pagerank_csr_splice_del" -> convergedPrDelSql,
+
+    // Exact 64-bit rolling-hash fingerprint (RollingHashMin: window 16,
+    // Base 1000003, murmur-style finalizer) emulated with HUGEINT mod-2⁶⁴
+    // arithmetic: documents are ASCII (ord == byte), each 16-byte window
+    // hash fits HUGEINT without splitting (h·Base < 2⁸⁴), and the two
+    // 64×64-bit finalizer multiplies are decomposed hi/lo 32-bit
+    // (t·C mod 2⁶⁴ = (t·lo + ((t mod 2³²)·hi mod 2³²)·2³²) mod 2⁶⁴).
+    // The min is taken over SIGNED longs — JVM `<` semantics.
+    "q_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS n,
+        |        list_transform(range(1, length(text)+1),
+        |          i -> ord(substring(text, CAST(i AS INT), 1))::HUGEINT) AS bytes
+        |      FROM d),
+        |hs AS (SELECT doc_id, unnest(list_transform(range(1, n - least(16, n) + 2),
+        |          p -> list_reduce(list_slice(bytes, CAST(p AS INT), CAST(p + least(16, n) - 1 AS INT)),
+        |                 (acc, x) -> (acc * 1000003 + x) % 18446744073709551616))) AS h
+        |       FROM b WHERE n > 0),
+        |m1 AS (SELECT doc_id, ((xor(h, h >> 33)) * 3981806797
+        |          + (((xor(h, h >> 33)) % 4294967296) * 4283543511 % 4294967296) * 4294967296)
+        |          % 18446744073709551616 AS z FROM hs),
+        |m2 AS (SELECT doc_id, ((xor(z, z >> 33)) * 444984403
+        |          + (((xor(z, z >> 33)) % 4294967296) * 3301882366 % 4294967296) * 4294967296)
+        |          % 18446744073709551616 AS z FROM m1),
+        |m3 AS (SELECT doc_id, CAST(CASE WHEN xor(z, z >> 33) >= 9223372036854775808
+        |          THEN xor(z, z >> 33) - 18446744073709551616
+        |          ELSE xor(z, z >> 33) END AS BIGINT) AS m FROM m2),
+        |best AS (SELECT doc_id, min(m) AS fingerprint FROM m3 GROUP BY doc_id
+        |         UNION ALL SELECT doc_id, 0 FROM b WHERE n = 0)
+        |SELECT doc_id, fingerprint FROM best ORDER BY doc_id""".stripMargin,
 
     // Raw-substring shingles: hashing shingles (Spark side) preserves set
     // equality, so Jaccard over raw 5-grams is the exact oracle.
@@ -596,4 +684,37 @@ object SparkEntry {
         |SELECT qid, vec_id, cos_r + 0.0 AS cos_r, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
+
+  /** Why each remaining query carries NO DuckDB oracle — these are
+    * structural (permanent by design), not coverage omissions; each names
+    * the ScalaTest that carries its correctness instead. Kept in sync with
+    * [[queries]]/[[oracleSql]] by SparkEntrySpec. */
+  def oracleJustification: Map[String, String] = Map(
+    "q_ann_lsh" -> (
+      "bucket assignment derives from Spark's xxhash64 (seeded hyperplane " +
+        "weights); DuckDB has no xxhash64 — AnnSpec bounds recall vs brute " +
+        "force and asserts every returned neighbor is exact-reranked"),
+    "q_embedding_neardup" -> (
+      "same xxhash64 hyperplane dependency as q_ann_lsh; AnnSpec verifies " +
+        "pair symmetry-freedom and the exact within-bucket cosine threshold"),
+    "q_minhash_lsh" -> (
+      "minhash signatures and band keys are xxhash64-based; DuckDB lacks " +
+        "xxhash64 — TextDedupSpec checks sim estimates against exact Jaccard"),
+    "q_simhash_pairs" -> (
+      "per-token xxhash64 signature; DuckDB lacks xxhash64 — TextDedupSpec " +
+        "verifies the Hamming-band semantics on constructed corpora"),
+    "q_multimodal_features" -> (
+      "the decode stage is the declared deterministic stub (no media codecs " +
+        "in this container); the REAL plumbing around it is oracled via " +
+        "q_media_metadata and q_video_frames"),
+    "q_pagerank_web_static" -> (
+      "runs on the self-synthesized web-page fixture (the north-rule input " +
+        "shape), which is not among the sfDir parquet tables DuckDB reads; " +
+        "the kernel itself is oracled on derivedEdges via " +
+        "q_pagerank_converged, and PageRankSpec checks the fixture run " +
+        "against the in-memory oracle"),
+    "q_pagerank_web_dynamic_frontier" -> (
+      "web fixture not visible to DuckDB (see q_pagerank_web_static); the " +
+        "DF kernel is oracled via q_pagerank_dynamic_frontier and " +
+        "DynamicPageRankSpec covers the fixture replay"))
 }

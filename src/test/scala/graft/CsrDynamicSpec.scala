@@ -59,6 +59,35 @@ class CsrDynamicSpec extends AnyFunSuite {
       s"maxDiff=${Oracle.maxDiff(got, dfDataframe)}")
   }
 
+  test("driver-local tail engages and matches the all-distributed run exactly") {
+    val (base, ins) = fixture(300L)
+    val xDf = TestSpark.edgesDf(spark, base)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    for (prune <- Seq(false, true)) {
+      // tail disabled via a zero budget — pure distributed loop
+      val dynOff = new CsrDynamic(spark, localTailMaxVerts = 0)
+      val gA = new CsrPageRank(spark).build(xDf)
+      val (_, stA) = dynOff.staticWithState(gA)
+      val (_, runOff, _) = dynOff.applyBatch(gA, stA, insDf, none, prune)
+
+      val runsBefore = CsrDynamic.localTailRuns.get()
+      val dynOn = new CsrDynamic(spark)
+      val gB = new CsrPageRank(spark).build(xDf)
+      val (_, stB) = dynOn.staticWithState(gB)
+      val (_, runOn, _) = dynOn.applyBatch(gB, stB, insDf, none, prune)
+      assert(CsrDynamic.localTailRuns.get() > runsBefore,
+        s"prune=$prune: local tail never engaged on a 300-vertex run")
+
+      val a = TestSpark.collectRanks(runOff.ranks)
+      val b = TestSpark.collectRanks(runOn.ranks)
+      assert(runOn.stats.iterations === runOff.stats.iterations,
+        s"prune=$prune: local tail changed the iteration count")
+      assert(Oracle.allclose(a, b, 1e-12),
+        s"prune=$prune maxDiff=${Oracle.maxDiff(a, b)}")
+    }
+  }
+
   test("CSR DF-P (pruning) after a mixed insertion+deletion batch: allclose oracle") {
     val (base, ins) = fixture(200L)
     // delete a few non-self-loop base edges

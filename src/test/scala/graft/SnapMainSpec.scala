@@ -47,12 +47,22 @@ class SnapMainSpec extends AnyFunSuite {
     assert(emitted.result().size === 3)
     assert(emitted.result().head.startsWith("""{"batch":0,"""))
 
-    // CSR-routed engines produce the same quality
+    // CSR-routed engines produce the same quality — and the carried-state
+    // loop performs EXACTLY ONE CSR freeze for the whole run (base graph);
+    // every batch advances by splice (r3 re-froze per technique per batch)
+    val buildsBefore = graft.pagerank.CsrPageRank.buildCount.get()
     val csr = SnapMain.run(spark, f.toString, rows, 400L,
       batchFraction = 0.01, nBatches = 2,
       opts = PagerankOptions(useCsr = true), emit = _ => ())
+    assert(graft.pagerank.CsrPageRank.buildCount.get() - buildsBefore === 1L,
+      "carried-CSR SnapMain must freeze exactly once")
     csr.foreach(_.foreach { case (k, r) =>
       assert(r.l1 < bar(k), s"csr $k l1=${r.l1}")
     })
+    // iteration counts match the DataFrame engine per technique per batch
+    results.take(2).zip(csr).foreach { case (a, b) =>
+      for (k <- Seq("naiveDynamic", "dynamicFrontier", "dynamicFrontierPrune"))
+        assert(a(k).iters === b(k).iters, s"$k iters differ: ${a(k).iters} vs ${b(k).iters}")
+    }
   }
 }

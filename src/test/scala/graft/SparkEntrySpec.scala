@@ -19,6 +19,18 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query has exactly one of: a DuckDB oracle, or a justification") {
+    val sql = SparkEntry.oracleSql.keySet
+    val just = SparkEntry.oracleJustification.keySet
+    val both = sql & just
+    assert(both.isEmpty, s"queries with oracle AND justification: $both")
+    val uncovered = SparkEntry.queries.keySet -- sql -- just
+    assert(uncovered.isEmpty,
+      s"queries with neither oracle nor no-oracle justification: $uncovered")
+    val stale = just -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"justifications without queries: $stale")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !name.startsWith("q_pagerank_web")) {
     test(s"query $name runs on sf0.001 and returns rows") {
