@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JDK-8192647: with 32 executor threads in JNI-critical sections (shuffle
+  // compression) a GCLocker-starved allocation can throw a SPURIOUS OOM
+  // after the default 2 retries even with heap to spare — observed once as
+  // "Retried waiting for GCLocker too often allocating 125002 words" killing
+  // a 48g-heap bench run. Standard mitigation: raise the retry count
+  // (diagnostic flag — needs unlocking).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -331,18 +331,23 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     // superstep's accumulators (see localTail scaladoc)
     val avgDeg = math.max(1.0, g.nEdges.toDouble / math.max(1L, g.n))
     var tailReady = false
+    var tailCooldown = 0
     while (iter < opts.maxIterations && residual >= opts.tolerance &&
         active > 0) {
-      if (tailReady) {
+      if (tailReady && tailCooldown == 0) {
         tailReady = false
         localTail(g, cur, prune, fixedF, iter) match {
-          case Some((cur2, its, res2, act2)) =>
+          case Some((cur2, its, res2, act2, aborted)) =>
             cur.unpersist(false)
             cur = cur2
             iter += its
             residual = res2
             active = act2
-          case None => () // over-budget on exact sizes — fall through
+            // an abort means the frontier escaped mid-run — the collect/
+            // writeback round trip costs ~2 jobs, so don't thrash: let the
+            // distributed loop make real progress before re-trying
+            if (aborted) tailCooldown = 3
+          case None => tailCooldown = 3 // over-budget on exact sizes
         }
         // re-check loop conditions; a converged tail exits here
       } else {
@@ -354,10 +359,12 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val activeAcc = new PartitionValueAcc
       val edgeAcc = new PartitionValueAcc
       val markAcc = new PartitionValueAcc
+      val newFlagAcc = new PartitionValueAcc
       sc.register(resAcc)
       sc.register(activeAcc)
       sc.register(edgeAcc)
       sc.register(markAcc)
+      sc.register(newFlagAcc)
       val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
@@ -368,12 +375,18 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         val st = CsrState(st0.rank.clone(), st0.s.clone(), st0.flag.clone())
         val b = bIt.next()
         val p = org.apache.spark.TaskContext.getPartitionId()
-        // (1) apply incoming deltas to S, marks to flags
+        // (1) apply incoming deltas to S, marks to flags (counting marks
+        // that land on PREVIOUSLY-unflagged vertices — "the affected set
+        // grew entering this superstep", the local-tail quiescence signal)
+        var newFlags = 0L
         mIt.foreach { case (_, (idxs, deltas, marks)) =>
           var j = 0
           while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
           j = 0
-          while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
+          while (j < marks.length) {
+            if (!st.flag(marks(j))) { st.flag(marks(j)) = true; newFlags += 1 }
+            j += 1
+          }
         }
         // (2) sweep the frontier, push deltas, expand — primitive-array
         // accumulation (dense thread-local buffer / open-address map),
@@ -421,6 +434,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         activeAcc.add((p, nActive.toDouble + push.markCount))
         edgeAcc.add((p, flagEdges.toDouble))
         markAcc.add((p, push.markCount.toDouble))
+        newFlagAcc.add((p, newFlags.toDouble))
         val outArr = push.emit().toArray
         Iterator.single((st, outArr))
       }
@@ -432,11 +446,20 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val markCnt = markAcc.value.values.sum
       val flagCnt = active.toDouble - markCnt
       val flagEdgeCnt = edgeAcc.value.values.sum
-      // marks may flag vertices whose adjacency we can't size remotely —
-      // budget them at 2× the average degree; localTail re-checks exactly.
-      tailReady = tailEnabled &&
+      val newFlagCnt = newFlagAcc.value.values.sum
+      // Trigger only once the affected set is (a) under budget and (b)
+      // QUIESCENT — this superstep added no new members. While the frontier
+      // is still expanding, a local run aborts after ~1 iteration on the
+      // first boundary mark and the collect/writeback round trip is a net
+      // loss (round-4 full bench measured 86 engagements × 1 iteration —
+      // pure thrash). Marks may still be in flight to ALREADY-flagged
+      // vertices; those stay in-set and are harmless. The 2×-avg-degree
+      // margin budgets mark targets whose adjacency we can't size remotely;
+      // localTail re-checks exact sizes after collection.
+      tailReady = tailEnabled && newFlagCnt == 0 &&
         flagCnt + markCnt <= localTailMaxVerts.toDouble &&
         flagEdgeCnt + markCnt * avgDeg * 2 <= localTailMaxEdges.toDouble
+      if (tailCooldown > 0) tailCooldown -= 1
       cur.unpersist(false)
       cur = nxt
       iter += 1
@@ -498,11 +521,12 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     * @return None when the exact collected size exceeds 2× the configured
     *         budget (the accumulator-based trigger overshot); otherwise
     *         (new loop state with empty in-flight messages, iterations
-    *         executed locally, last residual, last active count). */
+    *         executed locally, last residual, last active count, whether
+    *         the run aborted on a frontier escape). */
   private def localTail(g: CsrGraph,
       cur: RDD[(CsrState, Array[(Int, Msg)])], prune: Boolean,
       fixedF: Boolean, iterSoFar: Int)
-      : Option[(RDD[(CsrState, Array[(Int, Msg)])], Int, Double, Long)] = {
+      : Option[(RDD[(CsrState, Array[(Int, Msg)])], Int, Double, Long, Boolean)] = {
     val sc = spark.sparkContext
     val parts = g.vCounts.length
     val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
@@ -565,7 +589,9 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     val F = total.toInt
 
     // ---- flatten into dense local arrays --------------------------------
-    val gidx = new java.util.HashMap[java.lang.Long, Integer](F * 2)
+    // primitive open-address map (packed key -> dense index): F can reach
+    // ~1M — a boxed HashMap here is ~100 MB of Long/Integer churn
+    val gidx = new LongIntMap(F)
     var base = 0
     collected.foreach { tp =>
       var k = 0
@@ -591,8 +617,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         var e = tp.offs(k)
         while (e < tp.offs(k + 1)) {
           val t = gidx.get(tp.adj(e))
-          if (t == null) { nbr(w) = -1; nbrKey(w) = tp.adj(e) }
-          else nbr(w) = t.intValue()
+          if (t < 0) { nbr(w) = -1; nbrKey(w) = tp.adj(e) }
+          else nbr(w) = t
           w += 1; e += 1
         }
         base += 1; k += 1
@@ -738,9 +764,14 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       }
     newCur.persist(StorageLevel.MEMORY_AND_DISK).count()
     msgs.unpersist(false)
+    // NOTE: do NOT destroy() the patch broadcast — newCur's task closure
+    // references it, and any later stage that re-serializes newCur's
+    // lineage (the next superstep, finalState) would hit
+    // INTERNAL_ERROR_BROADCAST. The ContextCleaner reclaims it when the
+    // closure is GC'd with the unpersisted RDD.
     CsrDynamic.localTailRuns.incrementAndGet()
     CsrDynamic.localTailIters.addAndGet(localIters.toLong)
-    Some((newCur, localIters, residual, active))
+    Some((newCur, localIters, residual, active, aborted))
   }
 }
 
@@ -970,6 +1001,31 @@ object CsrDynamic {
       (0 until parts).iterator
         .filter(q => nd(q) > 0 || nm(q) > 0)
         .map(q => (q, (outI(q), outV(q), outM(q)): Msg))
+    }
+  }
+
+  /** Fixed-capacity open-address primitive map (packed (part,idx) key →
+    * dense index); get returns -1 on miss. Sized once by [[CsrDynamic
+    * .localTail]] (key count known up front). */
+  private[pagerank] final class LongIntMap(expected: Int) {
+    private val cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2 - 1)) * 2
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    private def slot(key: Long): Int = {
+      var h = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (cap - 1)
+      while (used(h) && keys(h) != key) h = (h + 1) & (cap - 1)
+      h
+    }
+    def put(key: Long, v: Int): Unit = {
+      val h = slot(key)
+      if (!used(h)) { used(h) = true; keys(h) = key }
+      vals(h) = v
+    }
+    def get(key: Long): Int = {
+      val h = slot(key)
+      if (used(h)) vals(h) else -1
     }
   }
 
