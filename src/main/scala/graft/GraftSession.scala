@@ -42,6 +42,18 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // rank vectors are checkpointed per superstep for lineage truncation
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // Always use the sort-path shuffle writer for RDD shuffles. With ≤200
+      // reduce partitions Spark picks BypassMergeSortShuffleWriter, which
+      // opens numPartitions files (stream + compression setup each) per MAP
+      // TASK — measured 46.7s of 48.4s executor time across one dynamic
+      // run's message shuffles, on near-empty data (DynProbe, 20 supersteps
+      // × 32 tasks × 32 files). Our RDD shuffles carry FEW, LARGE records
+      // (per-partition packed primitive arrays), the regime where per-file
+      // setup dominates and the sort path's single output file wins (2×
+      // on the dynamic superstep loop). Real clusters shuffle across >200
+      // partitions where the sort path is the default anyway — this makes
+      // local[N] behave like the deployment target.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

@@ -66,7 +66,12 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       * bounded and |V|-independent, so legitimate at any cluster size.
       * GRAFT_CSR_LOCAL_TAIL=0 disables (A/B benching). */
     localTailMaxVerts: Int = 500000,
-    localTailMaxEdges: Long = 5000000L) {
+    localTailMaxEdges: Long = 5000000L,
+    /** Per-task dense-vs-sparse push choice by frontier size (sparse when a
+      * task's frontier out-edges < |V|/32 — skips the dense buffer's O(|V|)
+      * zero+scan on tiny-frontier supersteps). false = always dense while
+      * maxDenseBytes allows, the pre-round-4 behavior (A/B benching). */
+    adaptivePush: Boolean = true) {
 
   private val tailEnabled =
     !sys.env.get("GRAFT_CSR_LOCAL_TAIL").contains("0")
@@ -323,6 +328,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     val fTol = opts.frontierTolerance
     val pTol = opts.pruneTolerance
     val denseOk = g.n * 8L <= maxDenseBytes
+    val nGlob = g.n // primitive capture — never close over `g` (holds RDDs)
+    val adapt = adaptivePush
     val fixedF = fixedFrontier
     var iter = 0
     var residual = Double.MaxValue
@@ -360,14 +367,17 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val edgeAcc = new PartitionValueAcc
       val markAcc = new PartitionValueAcc
       val newFlagAcc = new PartitionValueAcc
+      val taskNanosAcc = new PartitionValueAcc
       sc.register(resAcc)
       sc.register(activeAcc)
       sc.register(edgeAcc)
       sc.register(markAcc)
       sc.register(newFlagAcc)
+      sc.register(taskNanosAcc)
       val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
+        val tTask0 = System.nanoTime()
         // copy-on-write: the incoming state objects live in the previous
         // RDD's cache — mutating them in place would corrupt the cached
         // partition if this task were retried after a partial sweep
@@ -390,8 +400,25 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         }
         // (2) sweep the frontier, push deltas, expand — primitive-array
         // accumulation (dense thread-local buffer / open-address map),
-        // never a boxed hash map in the per-edge hot loop
-        val push = PushAcc(vc.value, denseOk, b.dstPart.length)
+        // never a boxed hash map in the per-edge hot loop. The dense
+        // buffer costs O(|V|) zero-on-acquire + O(|V|) emit scan per TASK,
+        // which dominates the whole superstep when the frontier is small
+        // (measured via DynProbe: it was most of the sweep stage at
+        // 12M-vertex scale) — so the choice is per-task: sparse only when
+        // this task's frontier out-edges (exact upper bound on its pushes,
+        // counted post-message-apply, pre-prune) are under |V|/32, where
+        // the open-address map is unambiguously cheaper; near-full sweeps
+        // (the expansion phase — most supersteps of a converging run) keep
+        // the dense buffer and its ~2 ns/edge adds.
+        var fe0 = 0L
+        var ii = 0
+        while (ii < st.flag.length) {
+          if (st.flag(ii)) fe0 += b.offsets(ii + 1) - b.offsets(ii)
+          ii += 1
+        }
+        val push = PushAcc(vc.value,
+          denseOk && (!adapt || fe0 * 32L >= nGlob),
+          math.min(b.dstPart.length.toLong, math.max(16L, fe0)).toInt)
         var maxD = 0.0
         var nActive = 0L
         var flagEdges = 0L
@@ -436,6 +463,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         markAcc.add((p, push.markCount.toDouble))
         newFlagAcc.add((p, newFlags.toDouble))
         val outArr = push.emit().toArray
+        taskNanosAcc.add((p, (System.nanoTime() - tTask0).toDouble))
         Iterator.single((st, outArr))
       }
       nxt.persist(StorageLevel.MEMORY_AND_DISK)
@@ -447,6 +475,17 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val flagCnt = active.toDouble - markCnt
       val flagEdgeCnt = edgeAcc.value.values.sum
       val newFlagCnt = newFlagAcc.value.values.sum
+      CsrDynamic.superstepRuns.incrementAndGet()
+      if (taskNanosAcc.value.nonEmpty)
+        CsrDynamic.kernelCritNanos.addAndGet(
+          taskNanosAcc.value.values.max.toLong)
+      // exact flagged-vertex count (not the flag+in-flight-marks upper
+      // estimate): if THIS alone peaks above localTailMaxVerts, the tail
+      // budget can never pass for the run
+      if (flagCnt.toLong > CsrDynamic.peakActive.get()) {
+        CsrDynamic.peakActive.set(flagCnt.toLong)
+        CsrDynamic.peakActiveEdges.set(flagEdgeCnt.toLong)
+      }
       // Trigger only once the affected set is (a) under budget and (b)
       // QUIESCENT — this superstep added no new members. While the frontier
       // is still expanding, a local run aborts after ~1 iteration on the
@@ -781,6 +820,22 @@ object CsrDynamic {
     * supersteps they absorbed (read+reset by Bench; monotone otherwise). */
   val localTailRuns = new java.util.concurrent.atomic.AtomicLong
   val localTailIters = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fixed-cost decomposition diagnostics (delta'd by Bench): distributed
+    * supersteps executed, and the summed per-superstep critical-path kernel
+    * time — max in-task nanos over partitions, i.e. the part of each
+    * superstep's wall that is actual sweep work on the slowest task. Wall
+    * minus this is the scheduling + shuffle-management floor that VERDICT r3
+    * item 6 asked to evidence (vs the reference's shared-memory loop). */
+  val superstepRuns = new java.util.concurrent.atomic.AtomicLong
+  val kernelCritNanos = new java.util.concurrent.atomic.AtomicLong
+
+  /** Affected-set size (flagged + in-flight marks) and its out-edge count at
+    * the superstep where each run's set was LARGEST — evidences the local-
+    * tail budget decision (tail fires only under localTailMaxVerts/Edges;
+    * at web-graph batch closures these peaks sit far above it). */
+  val peakActive = new java.util.concurrent.atomic.AtomicLong
+  val peakActiveEdges = new java.util.concurrent.atomic.AtomicLong
 
   /** Thrown when a batch/seed touches a vertex outside the frozen universe.
     * The CSR engine's universe is fixed at freeze time (the reference's

@@ -59,6 +59,27 @@ class CsrDynamicSpec extends AnyFunSuite {
       s"maxDiff=${Oracle.maxDiff(got, dfDataframe)}")
   }
 
+  test("decomposition counters: supersteps and kernel critical-path advance") {
+    val (base, ins) = fixture()
+    val xDf = TestSpark.edgesDf(spark, base)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    val dyn = new CsrDynamic(spark, localTailMaxVerts = 0) // distributed only
+    val g0 = new CsrPageRank(spark).build(xDf)
+    val (_, st0) = dyn.staticWithState(g0)
+    val ss0 = CsrDynamic.superstepRuns.get()
+    val kn0 = CsrDynamic.kernelCritNanos.get()
+    CsrDynamic.peakActive.set(0L)
+    val (_, run, _) = dyn.applyBatch(g0, st0, insDf, none, prune = false)
+    val steps = CsrDynamic.superstepRuns.get() - ss0
+    assert(steps === run.stats.iterations.toLong)
+    assert(CsrDynamic.kernelCritNanos.get() - kn0 > 0L)
+    assert(CsrDynamic.peakActive.get() > 0L)
+    // kernel critical path can never exceed the loop's wall time
+    assert((CsrDynamic.kernelCritNanos.get() - kn0) / 1e6 <=
+      run.stats.computeTimeMs)
+  }
+
   test("driver-local tail engages and matches the all-distributed run exactly") {
     val (base, ins) = fixture(300L)
     val xDf = TestSpark.edgesDf(spark, base)
