@@ -42,18 +42,27 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // rank vectors are checkpointed per superstep for lineage truncation
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      // Always use the sort-path shuffle writer for RDD shuffles. With ≤200
-      // reduce partitions Spark picks BypassMergeSortShuffleWriter, which
-      // opens numPartitions files (stream + compression setup each) per MAP
-      // TASK — measured 46.7s of 48.4s executor time across one dynamic
-      // run's message shuffles, on near-empty data (DynProbe, 20 supersteps
-      // × 32 tasks × 32 files). Our RDD shuffles carry FEW, LARGE records
-      // (per-partition packed primitive arrays), the regime where per-file
-      // setup dominates and the sort path's single output file wins (2×
-      // on the dynamic superstep loop). Real clusters shuffle across >200
-      // partitions where the sort path is the default anyway — this makes
-      // local[N] behave like the deployment target.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // NOTE: do NOT set spark.shuffle.sort.bypassMergeThreshold=0 here.
+      // It was tried session-wide (to spare the dynamic loop's near-empty
+      // message shuffles the bypass writer's 32-files-per-map-task setup
+      // cost) and it moved the DataFrame engine's large SQL exchanges onto
+      // UnsafeShuffleWriter, whose 64 MB on-heap pages are HUMONGOUS
+      // allocations on a 48 GB G1 heap — young GC degraded to ~1.7 s per
+      // collection ("G1 Humongous Allocation"), DataFrame supersteps ran
+      // ~15× slower, and a full bench died on a 267 s GC freeze. The
+      // near-empty-shuffle fix is scoped to the dynamic message shuffles
+      // instead (CsrDynamic.msgShuffle forces the sort path per-shuffle
+      // via a map-side combine); SQL exchanges keep the zero-allocation
+      // bypass writer they were measured green with.
+      // Survive multi-minute whole-JVM stalls (hypervisor steal / GC): the
+      // default spark.network.timeout=120s lets HeartbeatReceiver remove the
+      // local-mode "executor driver" after one long stall — observed as a
+      // 267 s freeze killing a 58-min bench run ("Removing executor driver
+      // with no recent heartbeats: 267394 ms exceeds timeout 120000"). On a
+      // real cluster the same setting is standard straggler tolerance; in
+      // local mode removing the only executor is pure self-destruction.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

@@ -374,7 +374,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       sc.register(markAcc)
       sc.register(newFlagAcc)
       sc.register(taskNanosAcc)
-      val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
+      val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
         val tTask0 = System.nanoTime()
@@ -511,7 +511,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     // dropping them would let the "exact S" invariant drift by up to
     // |final frontier|·tolerance per batch, compounding across long streams.
     // One cheap extra job; flags/ranks are shared (not mutated).
-    val termMsgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
+    val termMsgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
     val finalState = cur.map(_._1).zipPartitions(termMsgs,
       preservesPartitioning = true) { (stIt, mIt) =>
       val st0 = stIt.next()
@@ -568,7 +568,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       : Option[(RDD[(CsrState, Array[(Int, Msg)])], Int, Double, Long, Boolean)] = {
     val sc = spark.sparkContext
     val parts = g.vCounts.length
-    val msgs = cur.flatMap(_._2.iterator).partitionBy(ip(parts))
+    val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- collect the flagged sub-CSR, post message-application ----------
@@ -864,6 +864,29 @@ object CsrDynamic {
   /** Packed message batch for one target partition:
     * (local idxs, S deltas, marked local idxs). */
   type Msg = (Array[Int], Array[Double], Array[Int])
+
+  /** Shuffle a superstep's packed message batches to their target
+    * partitions on the SORT-path writer, scoped to this one shuffle. With
+    * ≤ bypassMergeThreshold (200) reduce partitions Spark's bypass writer
+    * opens one compressed stream per reduce partition per MAP task — on the
+    * dynamic loop's near-empty message data that per-file setup was 46.7 s
+    * of 48.4 s executor time across one 20-superstep run (DynProbe). A
+    * map-side combine makes the shuffle ineligible for bypass, routing it
+    * to the sort path's single output file per map task. The combine is
+    * structurally inert map-side — each map task holds ONE partition state
+    * and emits at most one Msg per target partition, so keys are unique
+    * within a task — and reduce-side merging is plain concatenation, which
+    * the consumers' apply-loops treat identically to separate records.
+    * Deliberately NOT done via spark.shuffle.sort.bypassMergeThreshold=0:
+    * session-wide that moved the DataFrame engine's large SQL exchanges
+    * onto UnsafeShuffleWriter's 64 MB humongous pages and degraded them
+    * ~15× on a 48 GB G1 heap (see GraftSession). */
+  def msgShuffle(msgs: RDD[(Int, Msg)],
+      p: org.apache.spark.Partitioner): RDD[(Int, Msg)] = {
+    val merge = (a: Msg, b: Msg) =>
+      (a._1 ++ b._1, a._2 ++ b._2, a._3 ++ b._3)
+    msgs.combineByKeyWithClassTag[Msg]((m: Msg) => m, merge, merge, p)
+  }
 
   final class IdxPartitioner(val parts: Int) extends org.apache.spark.Partitioner {
     def numPartitions: Int = parts
