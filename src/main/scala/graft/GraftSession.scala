@@ -63,10 +63,32 @@ object GraftSession {
       // local mode removing the only executor is pure self-destruction.
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "20s")
+      // Long-running iterative workloads emit thousands of tiny jobs; with
+      // the default 10k listener queue the appStatus queue overflows and
+      // DROPPED stage/job-completion events leave the AppStatusListener's
+      // live-entity maps growing forever (observed: 41M live RDDInfo
+      // objects / ~17 GB after ~70 endurance batches). A larger queue plus
+      // tight retention caps keeps the status store bounded; the UI is
+      // disabled anyway.
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "30000")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.ui.dagGraph.retainedRootRDDs", "20")
+      .config("spark.sql.ui.retainedExecutions", "50")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    tameStatusListener(s)
     s
   }
+
+  /** On sessions with the UI disabled, detach the AppStatusListener —
+    * nothing reads its store, and on long-running iterative workloads it
+    * leaks driver memory unboundedly once its event queue saturates (see
+    * org.apache.spark.GraftSparkBridge.detachAppStatusListener). */
+  def tameStatusListener(s: SparkSession): Unit =
+    if (!s.sparkContext.getConf.getBoolean("spark.ui.enabled", true))
+      org.apache.spark.GraftSparkBridge.detachAppStatusListener(s.sparkContext)
 }

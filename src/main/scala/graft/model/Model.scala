@@ -66,10 +66,18 @@ final case class PagerankOptions(
 
 /** Result of one PageRank run — mirrors the reference's PagerankResult
   * (/root/reference/inc/pagerank.hxx:64-113): converged ranks, iteration
-  * count, and phase timings (init / mark / compute, in ms). */
+  * count, and phase timings (init / mark / compute, in ms).
+  *
+  * `stepTimesMs` is the per-superstep wall-time trace (empty where an
+  * engine doesn't record it). Throughput protocols derive edges/sec from
+  * the MEDIAN superstep: on shared/virtualized hosts a single multi-second
+  * whole-box stall (hypervisor steal, GC freeze) inside an 8-superstep
+  * window otherwise poisons the entire measurement, and the steady-state
+  * superstep rate — not the stall — is what transfers to a cluster. */
 final case class PagerankStats(
     iterations: Int,
     initTimeMs: Double,
     markTimeMs: Double,
     computeTimeMs: Double,
-    finalResidual: Double)
+    finalResidual: Double,
+    stepTimesMs: Seq[Double] = Nil)

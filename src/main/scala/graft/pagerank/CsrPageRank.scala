@@ -203,12 +203,14 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
     var residual = Double.MaxValue
     var crossIters = -1
     var crossSecs = -1.0
+    val stepTimes = scala.collection.mutable.ArrayBuffer[Double]()
     val measureResidual = opts.tolerance > 0
     // locals only in the task closures — capturing `P`/`opts` would drag
     // `this` (and the SparkSession) into the serialized task
     val damp = P
     val useL1 = opts.useL1Residual
     while (iter < opts.maxIterations && residual >= opts.tolerance) {
+      val stepT0 = System.nanoTime()
       val acc = new ResidualAccumulator
       sc.register(acc) // unnamed: no per-superstep registry pinning
       val contribs: RDD[(Int, (Array[Int], Array[Double]))] =
@@ -257,6 +259,7 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
       ranks.unpersist(false)
       ranks = next
       iter += 1
+      stepTimes += (System.nanoTime() - stepT0) / 1e6
       if (crossIters < 0 && crossTol > 0 && residual < crossTol) {
         crossIters = iter
         crossSecs = (System.nanoTime() - t1) / 1e9
@@ -272,7 +275,8 @@ class CsrPageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()
         b.srcs.iterator.zip(r.iterator)
     }.toDF("id", "rank")
     (PagerankRun(out,
-      PagerankStats(iter, (t1 - t0) / 1e6, 0.0, (t3 - t1) / 1e6, residual)),
+      PagerankStats(iter, (t1 - t0) / 1e6, 0.0, (t3 - t1) / 1e6, residual,
+        stepTimes.toSeq)),
       ranks, crossSecs, crossIters)
   }
 

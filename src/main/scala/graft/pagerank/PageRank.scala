@@ -380,9 +380,11 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
 
     var iter = 0
     var residual = Double.MaxValue
+    val stepTimes = scala.collection.mutable.ArrayBuffer[Double]()
 
     while (iter < opts.maxIterations && residual >= opts.tolerance &&
         frontierN > 0) {
+      val stepT0 = System.nanoTime()
       // Sweep: contributions pulled over in-edges of affected vertices only.
       val sweptLinks = frontier match {
         case None => links
@@ -535,11 +537,12 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
       ranks = newRanks
       frontierN = nextFrontierN
       frontier = nextFrontierMat
+      stepTimes += (System.nanoTime() - stepT0) / 1e6
     }
 
     val t3 = System.nanoTime()
     val stats = PagerankStats(iter, (t1 - t0) / 1e6, (t2 - t1) / 1e6,
-      (t3 - t2) / 1e6, residual)
+      (t3 - t2) / 1e6, residual, stepTimes.toSeq)
     PagerankRun(ranks, stats)
   }
 }

@@ -40,4 +40,19 @@ object GraftBridge {
       case _ => ck
     }
   }
+
+  /** Release the persisted blocks behind a locally-checkpointed DataFrame.
+    * `df.unpersist` consults only the CacheManager, which does NOT track
+    * checkpoint blocks — without this, a loop that re-checkpoints carried
+    * state every batch (Bench's 100-batch endurance stream) strands one
+    * ~|E|-sized block generation per batch until the ContextCleaner's
+    * periodic GC (default every 30 min) happens to run, and a 48 GB heap
+    * OOMs first. Safe once nothing will re-read the DataFrame: the blocks
+    * are dropped, and the lineage was already truncated by the checkpoint
+    * so the RDD cannot be recomputed afterwards. */
+  def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -30,6 +30,10 @@ class CsrPageRankSpec extends AnyFunSuite {
     assert(a.keySet === b.keySet)
     assert(Oracle.allclose(a, b, 1e-12), s"maxDiff=${Oracle.maxDiff(a, b)}")
     assert(csr.stats.iterations === df.stats.iterations)
+    // per-superstep wall trace (throughput protocols divide by its min)
+    assert(csr.stats.stepTimesMs.length === csr.stats.iterations)
+    assert(df.stats.stepTimesMs.length === df.stats.iterations)
+    assert(csr.stats.stepTimesMs.forall(_ > 0.0))
   }
 
   test("CSR static == DataFrame static on the web fixture (incl. hub skew)") {
