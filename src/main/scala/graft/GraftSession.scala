@@ -77,6 +77,12 @@ object GraftSession {
       .config("spark.ui.dagGraph.retainedRootRDDs", "20")
       .config("spark.sql.ui.retainedExecutions", "50")
 
+  /** NOTE: does NOT detach the AppStatusListener — `sc.statusTracker` (and
+    * a console progress bar, if enabled) keep working for framework users.
+    * Long-lived iterative drivers that never read the status store should
+    * opt in to the detach via [[tameStatusListener]] (Bench does, forced)
+    * or `GRAFT_TAME_STATUS=1`; the retention caps in [[builder]] bound the
+    * store for everyone else. */
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -87,8 +93,16 @@ object GraftSession {
   /** On sessions with the UI disabled, detach the AppStatusListener —
     * nothing reads its store, and on long-running iterative workloads it
     * leaks driver memory unboundedly once its event queue saturates (see
-    * org.apache.spark.GraftSparkBridge.detachAppStatusListener). */
-  def tameStatusListener(s: SparkSession): Unit =
-    if (!s.sparkContext.getConf.getBoolean("spark.ui.enabled", true))
+    * org.apache.spark.GraftSparkBridge.detachAppStatusListener).
+    *
+    * SIDE EFFECT: a detached listener means `sc.statusTracker` and any
+    * other status-store consumer silently observe an empty store, so this
+    * is opt-in (ADVICE r4): it fires only when `force = true` (the bench
+    * mains, which own their sessions end-to-end) or the user set
+    * `GRAFT_TAME_STATUS=1`; it never fires while the UI is enabled. */
+  def tameStatusListener(s: SparkSession, force: Boolean = false): Unit = {
+    val optedIn = force || sys.env.get("GRAFT_TAME_STATUS").contains("1")
+    if (optedIn && !s.sparkContext.getConf.getBoolean("spark.ui.enabled", true))
       org.apache.spark.GraftSparkBridge.detachAppStatusListener(s.sparkContext)
+  }
 }

@@ -11,6 +11,7 @@ import graft.ingest.WebGraphFixture
 import graft.model.PagerankOptions
 import graft.multimodal.Multimodal
 import graft.pagerank.{CsrDynamic, CsrPageRank, PageRank}
+import graft.streaming.IncrementalPageRank
 import graft.text.TextOps
 
 /** Driver contract — queries + DuckDB oracle SQL (SURVEY.md §5, §7).
@@ -283,6 +284,34 @@ object SparkEntry {
       val (_, st0) = dyn.staticWithState(g)
       val (_, run, _) = dyn.applyBatch(g, st0, del.limit(0), del, prune = true)
       run.ranks.select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
+    }),
+
+    // The streaming front end (S1/K1 subsystem) under the hard signal: the
+    // full derived graph replayed through IncrementalPageRank.applyBatch as
+    // FOUR deterministic micro-batches — bootstrap (static over the fixed
+    // universe), a plain insertion batch, a mixed op-typed batch (inserts +
+    // deletions, exercising split()'s op routing on the carried-CSR path),
+    // and a batch re-inserting the deleted slice. The final edge set is
+    // exactly the full graph, so the stream re-converges to the SAME
+    // fixpoint as the 200-round DuckDB oracle (convergedPrSql).
+    "q_pagerank_stream" -> ((s, dir) => {
+      val e = derivedEdges(s, dir)
+      val verts = EdgeOps.vertices(e)
+      val sliceA = e.where((col("src") + col("dst")) % 17 === 0)
+      val sliceB = e.where((col("src") + col("dst")) % 17 =!= 0 &&
+        (col("src") + col("dst")) % 13 === 0)
+      val delA = sliceA.where(col("src") % 2 === 0 && col("src") =!= col("dst"))
+      val base = e.join(sliceA, Seq("src", "dst"), "left_anti")
+        .join(sliceB, Seq("src", "dst"), "left_anti")
+      val ipr = new IncrementalPageRank(s, verts, tightDynOpts(useCsr = true))
+      ipr.applyBatch(base)
+      ipr.applyBatch(sliceA)
+      ipr.applyBatch(
+        sliceB.withColumn("op", lit("ins"))
+          .union(delA.withColumn("op", lit("del"))))
+      ipr.applyBatch(delA.withColumn("op", lit("ins")))
+      ipr.currentRanks
+        .select(col("id"), round(col("rank"), 6).as("rank")).orderBy("id")
     }),
 
     "q_pagerank_web_static" -> ((s, dir) => {
@@ -571,6 +600,9 @@ object SparkEntry {
     "q_pagerank_csr_dfp" -> convergedPrSql,
     "q_pagerank_csr_splice" -> convergedPrSql,
     "q_pagerank_csr_splice_del" -> convergedPrDelSql,
+    // streaming replay over 4 micro-batches ends at the full edge set —
+    // same fixpoint as the static oracle
+    "q_pagerank_stream" -> convergedPrSql,
 
     // Exact 64-bit rolling-hash fingerprint (RollingHashMin: window 16,
     // Base 1000003, murmur-style finalizer) emulated with HUGEINT mod-2⁶⁴

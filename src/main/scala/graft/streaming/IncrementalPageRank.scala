@@ -50,9 +50,18 @@ import graft.pagerank.CsrDynamic.CsrState
   *   the teleport term C0=(1−P)/N) never changes across batches. Without a
   *   fixed universe, vertices introduced mid-stream would silently change C0
   *   for never-swept vertices, breaking the DF approximation guarantee. */
+/** @param compactEvery every `compactEvery` completed batches the durable
+  *   log also writes a CONSOLIDATED edge snapshot (the folded edge set, incl.
+  *   self-loops over the grown universe) and marks it in the manifest;
+  *   [[restore]] then reads 1 snapshot + the suffix of batches after it
+  *   instead of replaying the whole log — without compaction a long-lived
+  *   stream's restart cost grows O(total batches) (one Spark job per logged
+  *   batch; hours at N≈10⁴), with it the restart reads ≤ compactEvery
+  *   batch files regardless of stream age. */
 class IncrementalPageRank(spark: SparkSession,
     vertexUniverse: DataFrame,
-    opts: PagerankOptions = PagerankOptions()) {
+    opts: PagerankOptions = PagerankOptions(),
+    compactEvery: Int = 25) {
 
   @volatile private var edges: DataFrame = _
   @volatile private var ranks: DataFrame = _
@@ -181,7 +190,11 @@ class IncrementalPageRank(spark: SparkSession,
   }
 
   /** Durable per-batch log: normalized batch rows + converged ranks +
-    * manifest line — written only AFTER the re-rank succeeded. */
+    * manifest line — written only AFTER the re-rank succeeded. Every
+    * `compactEvery` batches the line additionally records a consolidated
+    * edge SNAPSHOT so [[restore]] replays only the suffix (log compaction —
+    * the snapshot is the folded prefix; older batch files become dead
+    * weight for restore but are kept for audit). */
   private def persistCompletedBatch(batch: DataFrame): Unit =
     streamDir.foreach { dir =>
       val tag = f"${batchesApplied - 1}%05d"
@@ -190,14 +203,28 @@ class IncrementalPageRank(spark: SparkSession,
       else batch.select(col("src"), col("dst"), lit("ins").as("op"))
       b.write.mode("overwrite").parquet(s"$dir/batch_$tag")
       ranks.write.mode("overwrite").parquet(s"$dir/ranks_$tag")
+      val snapField =
+        if (compactEvery > 0 && batchesApplied % compactEvery == 0) {
+          edges.write.mode("overwrite").parquet(s"$dir/snap_$tag")
+          s""","snapshotPath":"$dir/snap_$tag""""
+        } else ""
       Files.createDirectories(Paths.get(dir))
       Files.writeString(Paths.get(s"$dir/STREAM_MANIFEST.jsonl"),
-        s"""{"batch":${batchesApplied - 1},"batchPath":"$dir/batch_$tag","ranksPath":"$dir/ranks_$tag"}""" + "\n",
+        s"""{"batch":${batchesApplied - 1},"batchPath":"$dir/batch_$tag","ranksPath":"$dir/ranks_$tag"$snapField}""" + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
 
+  /** Batch files replayed by the last [[restore]] (observability + the
+    * compaction spec's read-bound assertion). */
+  @volatile private var lastReplayed: Int = 0
+  def lastRestoreReplayedBatches: Int = lastReplayed
+
   /** Rebuild in-memory state from the stream log (no-op without one).
-    * @return number of completed batches restored */
+    * Starts from the latest logged edge SNAPSHOT when one exists — the
+    * universe is recovered as the snapshot's vertex set (every universe
+    * vertex carries a self-loop, an engine invariant) — and replays only
+    * the batches after it.
+    * @return number of completed batches restored (total, not replayed) */
   def restore(): Int = synchronized {
     val dir = streamDir.getOrElse(return 0)
     val mf = Paths.get(s"$dir/STREAM_MANIFEST.jsonl")
@@ -205,10 +232,21 @@ class IncrementalPageRank(spark: SparkSession,
     val lines = Files.readAllLines(mf)
     if (lines.isEmpty) return 0
     val nBatches = lines.size
-    // Fold the logged batches into the edge set, in order (insert+delete+
-    // universe-growth semantics identical to the live path).
+    import scala.jdk.CollectionConverters._
+    val snapRe = """"batch":(\d+).*"snapshotPath":"([^"]+)"""".r.unanchored
+    val lastSnap: Option[(Int, String)] = lines.asScala.reverseIterator
+      .collectFirst { case snapRe(i, p) => (i.toInt, p) }
     var e: DataFrame = null
-    for (i <- 0 until nBatches) {
+    var from = 0
+    lastSnap.foreach { case (i, path) =>
+      e = spark.read.parquet(path).ckpt()
+      universe = EdgeOps.vertices(e).ckpt()
+      from = i + 1
+    }
+    // Fold the remaining logged batches into the edge set, in order
+    // (insert+delete+universe-growth semantics identical to the live path).
+    lastReplayed = nBatches - from
+    for (i <- from until nBatches) {
       val b = spark.read.parquet(f"$dir/batch_$i%05d")
       // same normalization as the live path (incl. the self-loop-deletion
       // drop) so replayed state is bit-identical to pre-kill state

@@ -47,9 +47,17 @@ object GraftBridge {
     * state every batch (Bench's 100-batch endurance stream) strands one
     * ~|E|-sized block generation per batch until the ContextCleaner's
     * periodic GC (default every 30 min) happens to run, and a 48 GB heap
-    * OOMs first. Safe once nothing will re-read the DataFrame: the blocks
-    * are dropped, and the lineage was already truncated by the checkpoint
-    * so the RDD cannot be recomputed afterwards. */
+    * OOMs first.
+    *
+    * PRECONDITION (caller contract — this is UNRECOVERABLE): the freed
+    * DataFrame's lineage was already truncated by its local checkpoint, so
+    * once the blocks are dropped the RDD can NEVER be recomputed. Call this
+    * only when (a) nothing will read `df` again, and (b) every SUCCESSOR
+    * derived from `df` has been EAGERLY materialized first (its own
+    * `.ckpt()`/`localCheckpoint(true)` action completed) — a lazy successor
+    * whose first action runs after this call will fail with missing blocks.
+    * Bench's batch loops satisfy this by checkpointing `nextX` eagerly
+    * before freeing `prevX`. */
   def freeCkpt(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(false)

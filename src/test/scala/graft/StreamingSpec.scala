@@ -221,4 +221,43 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("restore()"))
   }
+
+  test("restore() compaction: a 34-batch log restores from the latest snapshot + suffix") {
+    import graft.model.PagerankOptions
+    val P = 60L
+    val staged = WebGraphFixture.edgesOnly(spark, P).toDF()
+      .select("src", "dst").dropDuplicates("src", "dst").cache()
+    val universe = EdgeOps.vertices(staged).cache()
+    val ckptDir = Files.createTempDirectory("graft-inc-compact").toString
+    val opts = PagerankOptions(checkpointDir = Some(ckptDir))
+    val inc = new IncrementalPageRank(spark, universe, opts, compactEvery = 10)
+
+    // bootstrap + 32 singleton insertion batches + 1 deletion batch = 34
+    // completed batches; snapshots land after batches 10, 20, 30
+    val extras = staged.where($"src" =!= $"dst").limit(32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(extras.size === 32)
+    val extrasDf = extras.toDF("src", "dst")
+    inc.applyBatch(staged.join(extrasDf, Seq("src", "dst"), "left_anti"))
+    extras.foreach { case (s0, d0) =>
+      inc.applyBatch(Seq((s0, d0)).toDF("src", "dst"))
+    }
+    inc.applyBatch(extras.take(2).toDF("src", "dst")
+      .withColumn("op", lit("del")))
+    assert(inc.batches === 34)
+
+    val revived = IncrementalPageRank.resume(spark, universe, opts)
+    assert(revived.batches === 34)
+    // the log has 34 batches but restore must fold only the snapshot at
+    // batch index 29 plus the 4-batch suffix — never the whole log
+    assert(revived.lastRestoreReplayedBatches === 4)
+    assert(revived.lastRestoreReplayedBatches < 10)
+    // and the restored state is identical to the live instance's
+    val got = TestSpark.collectRanks(revived.currentRanks)
+    val want = TestSpark.collectRanks(inc.currentRanks)
+    assert(Oracle.allclose(got, want, 0.0))
+    assert(revived.currentEdges.count() === inc.currentEdges.count())
+    assert(revived.currentEdges.join(inc.currentEdges,
+      Seq("src", "dst"), "left_anti").count() === 0)
+  }
 }
