@@ -57,24 +57,11 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       * a packed-key open-address primitive map bounded by the frontier's
       * out-edges (the 10¹²-vertex regime). */
     maxDenseBytes: Long = 128L * 1024 * 1024,
-    /** Driver-local tail thresholds: when the AFFECTED set (flagged
-      * vertices + in-flight marks) fits under these, the remaining
-      * supersteps run on the driver over a collected sub-CSR (see
-      * [[localTail]]) instead of paying ~0.2-0.4 s of 2-stage job
-      * scheduling per superstep for microseconds of frontier math. ~500k
-      * verts × 40 B + 5M edges × 8 B ≈ 60 MB driver heap worst case —
-      * bounded and |V|-independent, so legitimate at any cluster size.
-      * GRAFT_CSR_LOCAL_TAIL=0 disables (A/B benching). */
-    localTailMaxVerts: Int = 500000,
-    localTailMaxEdges: Long = 5000000L,
     /** Per-task dense-vs-sparse push choice by frontier size (sparse when a
       * task's frontier out-edges < |V|/32 — skips the dense buffer's O(|V|)
       * zero+scan on tiny-frontier supersteps). false = always dense while
       * maxDenseBytes allows, the pre-round-4 behavior (A/B benching). */
     adaptivePush: Boolean = true) {
-
-  private val tailEnabled =
-    !sys.env.get("GRAFT_CSR_LOCAL_TAIL").contains("0")
 
   private val ip = (parts: Int) => new IdxPartitioner(parts)
 
@@ -334,30 +321,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     var iter = 0
     var residual = Double.MaxValue
     var active = 1L
-    // driver-local tail trigger state, estimated from the PREVIOUS
-    // superstep's accumulators (see localTail scaladoc)
-    val avgDeg = math.max(1.0, g.nEdges.toDouble / math.max(1L, g.n))
-    var tailReady = false
-    var tailCooldown = 0
     while (iter < opts.maxIterations && residual >= opts.tolerance &&
         active > 0) {
-      if (tailReady && tailCooldown == 0) {
-        tailReady = false
-        localTail(g, cur, prune, fixedF, iter) match {
-          case Some((cur2, its, res2, act2, aborted)) =>
-            cur.unpersist(false)
-            cur = cur2
-            iter += its
-            residual = res2
-            active = act2
-            // an abort means the frontier escaped mid-run — the collect/
-            // writeback round trip costs ~2 jobs, so don't thrash: let the
-            // distributed loop make real progress before re-trying
-            if (aborted) tailCooldown = 3
-          case None => tailCooldown = 3 // over-budget on exact sizes
-        }
-        // re-check loop conditions; a converged tail exits here
-      } else {
       // registered UNNAMED: named accumulators pin an entry in the context
       // registry per registration — two per superstep across a long-lived
       // streaming session is a slow leak; unnamed ones are weak-ref'd and
@@ -366,13 +331,11 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val activeAcc = new PartitionValueAcc
       val edgeAcc = new PartitionValueAcc
       val markAcc = new PartitionValueAcc
-      val newFlagAcc = new PartitionValueAcc
       val taskNanosAcc = new PartitionValueAcc
       sc.register(resAcc)
       sc.register(activeAcc)
       sc.register(edgeAcc)
       sc.register(markAcc)
-      sc.register(newFlagAcc)
       sc.register(taskNanosAcc)
       val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
@@ -385,18 +348,12 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         val st = CsrState(st0.rank.clone(), st0.s.clone(), st0.flag.clone())
         val b = bIt.next()
         val p = org.apache.spark.TaskContext.getPartitionId()
-        // (1) apply incoming deltas to S, marks to flags (counting marks
-        // that land on PREVIOUSLY-unflagged vertices — "the affected set
-        // grew entering this superstep", the local-tail quiescence signal)
-        var newFlags = 0L
+        // (1) apply incoming deltas to S, marks to flags
         mIt.foreach { case (_, (idxs, deltas, marks)) =>
           var j = 0
           while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
           j = 0
-          while (j < marks.length) {
-            if (!st.flag(marks(j))) { st.flag(marks(j)) = true; newFlags += 1 }
-            j += 1
-          }
+          while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
         }
         // (2) sweep the frontier, push deltas, expand — primitive-array
         // accumulation (dense thread-local buffer / open-address map),
@@ -461,7 +418,6 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         activeAcc.add((p, nActive.toDouble + push.markCount))
         edgeAcc.add((p, flagEdges.toDouble))
         markAcc.add((p, push.markCount.toDouble))
-        newFlagAcc.add((p, newFlags.toDouble))
         val outArr = push.emit().toArray
         taskNanosAcc.add((p, (System.nanoTime() - tTask0).toDouble))
         Iterator.single((st, outArr))
@@ -474,35 +430,21 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val markCnt = markAcc.value.values.sum
       val flagCnt = active.toDouble - markCnt
       val flagEdgeCnt = edgeAcc.value.values.sum
-      val newFlagCnt = newFlagAcc.value.values.sum
       CsrDynamic.superstepRuns.incrementAndGet()
       if (taskNanosAcc.value.nonEmpty)
         CsrDynamic.kernelCritNanos.addAndGet(
           taskNanosAcc.value.values.max.toLong)
-      // exact flagged-vertex count (not the flag+in-flight-marks upper
-      // estimate): if THIS alone peaks above localTailMaxVerts, the tail
-      // budget can never pass for the run
+      // diagnostic: exact flagged-vertex count (not the flag+in-flight-
+      // marks upper estimate) at the superstep where the affected set
+      // peaked — evidences how wide the DF/DF-P wavefront gets on this
+      // workload (Bench ships it as peak_affected_verts/_edges)
       if (flagCnt.toLong > CsrDynamic.peakActive.get()) {
         CsrDynamic.peakActive.set(flagCnt.toLong)
         CsrDynamic.peakActiveEdges.set(flagEdgeCnt.toLong)
       }
-      // Trigger only once the affected set is (a) under budget and (b)
-      // QUIESCENT — this superstep added no new members. While the frontier
-      // is still expanding, a local run aborts after ~1 iteration on the
-      // first boundary mark and the collect/writeback round trip is a net
-      // loss (round-4 full bench measured 86 engagements × 1 iteration —
-      // pure thrash). Marks may still be in flight to ALREADY-flagged
-      // vertices; those stay in-set and are harmless. The 2×-avg-degree
-      // margin budgets mark targets whose adjacency we can't size remotely;
-      // localTail re-checks exact sizes after collection.
-      tailReady = tailEnabled && newFlagCnt == 0 &&
-        flagCnt + markCnt <= localTailMaxVerts.toDouble &&
-        flagEdgeCnt + markCnt * avgDeg * 2 <= localTailMaxEdges.toDouble
-      if (tailCooldown > 0) tailCooldown -= 1
       cur.unpersist(false)
       cur = nxt
       iter += 1
-      }
     }
     val t3 = System.nanoTime()
 
@@ -533,293 +475,9 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     (run, finalState)
   }
 
-  /** Driver-local fast-forward of a dynamic run's tail.
-    *
-    * Once the affected set is small, a distributed superstep is ~all fixed
-    * cost: 2 stages of task scheduling (~0.2-0.4 s) wrapping microseconds of
-    * frontier math — the irreducible floor VERDICT r3 measured between this
-    * engine and the reference's shared-memory loop. When the flagged
-    * sub-graph fits the (|V|-independent) thresholds, we enter the
-    * reference's regime LEGITIMATELY: collect the flagged vertices' (rank,
-    * S, invDeg, adjacency) once, run the EXACT superstep kernel (same
-    * Jacobi double-buffering, same DF/DF-P expansion/prune rules, same
-    * residual/active stop conditions) in a driver loop at ns/iteration, and
-    * write the result back as one patch job.
-    *
-    * Invariant that makes this exact: only FLAGGED vertices are ever swept,
-    * and the collected set is the entire flagged set. Pushes to
-    * out-of-set vertices only update S (accumulated in a boundary map,
-    * applied at writeback — the same terminal S-fold the distributed loop
-    * performs); a MARK to an out-of-set vertex would grow the affected set
-    * beyond the collected sub-graph, so it ABORTS the local run after the
-    * current iteration completes: the writeback then delivers the boundary
-    * marks as flags and the distributed loop resumes mid-run. Convergence,
-    * iteration counts and carried state match the distributed path to fp
-    * reordering noise.
-    *
-    * @return None when the exact collected size exceeds 2× the configured
-    *         budget (the accumulator-based trigger overshot); otherwise
-    *         (new loop state with empty in-flight messages, iterations
-    *         executed locally, last residual, last active count, whether
-    *         the run aborted on a frontier escape). */
-  private def localTail(g: CsrGraph,
-      cur: RDD[(CsrState, Array[(Int, Msg)])], prune: Boolean,
-      fixedF: Boolean, iterSoFar: Int)
-      : Option[(RDD[(CsrState, Array[(Int, Msg)])], Int, Double, Long, Boolean)] = {
-    val sc = spark.sparkContext
-    val parts = g.vCounts.length
-    val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- collect the flagged sub-CSR, post message-application ----------
-    val collected: Array[TailPart] = cur.map(_._1).zipPartitions(msgs,
-      g.blocks, preservesPartitioning = true) { (stIt, mIt, bIt) =>
-      val st0 = stIt.next()
-      val b = bIt.next()
-      // message application on CLONES — collect-only; the writeback job
-      // re-applies the identical (persisted) messages to the carried state
-      val sApp = st0.s.clone()
-      val flag = st0.flag.clone()
-      mIt.foreach { case (_, (idxs, deltas, marks)) =>
-        var j = 0
-        while (j < idxs.length) { sApp(idxs(j)) += deltas(j); j += 1 }
-        j = 0
-        while (j < marks.length) { flag(marks(j)) = true; j += 1 }
-      }
-      val p = org.apache.spark.TaskContext.getPartitionId()
-      var n = 0
-      var m = 0
-      var i = 0
-      while (i < flag.length) {
-        if (flag(i)) { n += 1; m += b.offsets(i + 1) - b.offsets(i) }
-        i += 1
-      }
-      val idxs = new Array[Int](n)
-      val rank = new Array[Double](n)
-      val sOut = new Array[Double](n)
-      val inv = new Array[Double](n)
-      val offs = new Array[Int](n + 1)
-      val adj = new Array[Long](m)
-      var k = 0
-      var w = 0
-      i = 0
-      while (i < flag.length) {
-        if (flag(i)) {
-          idxs(k) = i; rank(k) = st0.rank(i); sOut(k) = sApp(i)
-          inv(k) = b.invDeg(i); offs(k) = w
-          var e = b.offsets(i)
-          while (e < b.offsets(i + 1)) {
-            adj(w) = pack(b.dstPart(e), b.dstIdx(e)); w += 1; e += 1
-          }
-          k += 1
-        }
-        i += 1
-      }
-      offs(n) = w
-      Iterator.single(TailPart(p, idxs, rank, sOut, inv, offs, adj))
-    }.collect()
-
-    val total = collected.iterator.map(_.idxs.length.toLong).sum
-    val totalE = collected.iterator.map(_.adj.length.toLong).sum
-    if (total > 2L * localTailMaxVerts || totalE > 2L * localTailMaxEdges) {
-      msgs.unpersist(false)
-      return None
-    }
-    val F = total.toInt
-
-    // ---- flatten into dense local arrays --------------------------------
-    // primitive open-address map (packed key -> dense index): F can reach
-    // ~1M — a boxed HashMap here is ~100 MB of Long/Integer churn
-    val gidx = new LongIntMap(F)
-    var base = 0
-    collected.foreach { tp =>
-      var k = 0
-      while (k < tp.idxs.length) {
-        gidx.put(pack(tp.part, tp.idxs(k)), base); base += 1; k += 1
-      }
-    }
-    val rank = new Array[Double](F)
-    val s = new Array[Double](F)
-    val inv = new Array[Double](F)
-    val offs = new Array[Int](F + 1)
-    val flag = new Array[Boolean](F)
-    java.util.Arrays.fill(flag, true)
-    val nbr = new Array[Int](totalE.toInt) // in-set dense index, or -1
-    val nbrKey = new Array[Long](totalE.toInt) // packed key when boundary
-    base = 0
-    var w = 0
-    collected.foreach { tp =>
-      var k = 0
-      while (k < tp.idxs.length) {
-        rank(base) = tp.rank(k); s(base) = tp.s(k); inv(base) = tp.invDeg(k)
-        offs(base) = w
-        var e = tp.offs(k)
-        while (e < tp.offs(k + 1)) {
-          val t = gidx.get(tp.adj(e))
-          if (t < 0) { nbr(w) = -1; nbrKey(w) = tp.adj(e) }
-          else nbr(w) = t
-          w += 1; e += 1
-        }
-        base += 1; k += 1
-      }
-    }
-    offs(F) = w
-
-    // ---- the exact superstep kernel, driver-local -----------------------
-    val c0 = (1 - opts.damping) / g.n
-    val damp = opts.damping
-    val fTol = opts.frontierTolerance
-    val pTol = opts.pruneTolerance
-    val pendS = new Array[Double](F)
-    val pendF = new Array[Boolean](F)
-    val boundary = new java.util.HashMap[java.lang.Long, java.lang.Double]()
-    val boundaryMarks = new java.util.HashSet[java.lang.Long]()
-    var localIters = 0
-    var iter = iterSoFar
-    var residual = Double.MaxValue
-    var active = 1L
-    var aborted = false
-    while (!aborted && iter < opts.maxIterations &&
-        residual >= opts.tolerance && active > 0) {
-      // deliver pending messages — the distributed step (1)
-      var i = 0
-      while (i < F) {
-        s(i) += pendS(i); pendS(i) = 0.0
-        if (pendF(i)) { flag(i) = true; pendF(i) = false }
-        i += 1
-      }
-      var maxD = 0.0
-      var nActive = 0L
-      var marksThis = 0L
-      i = 0
-      while (i < F) {
-        if (flag(i)) {
-          val r0 = rank(i)
-          val a =
-            if (!prune) c0 + damp * s(i)
-            else (c0 + damp * (s(i) - r0 * inv(i))) / (1.0 - damp * inv(i))
-          val d = math.abs(a - r0)
-          if (d > maxD) maxD = d
-          val relD = if (d == 0.0) 0.0 else d / math.max(a, r0)
-          if (prune) flag(i) = relD > pTol
-          if (d != 0.0) {
-            rank(i) = a
-            val dw = (a - r0) * inv(i)
-            val mark = !fixedF && relD > fTol
-            var e = offs(i)
-            while (e < offs(i + 1)) {
-              val t = nbr(e)
-              if (t >= 0) {
-                pendS(t) += dw
-                if (mark && !(prune && t == i) && !pendF(t)) {
-                  pendF(t) = true; marksThis += 1
-                }
-              } else {
-                val key = nbrKey(e)
-                val prev = boundary.get(key)
-                boundary.put(key,
-                  if (prev == null) dw else prev.doubleValue() + dw)
-                if (mark) { aborted = true; boundaryMarks.add(key) }
-              }
-              e += 1
-            }
-          }
-          if (flag(i)) nActive += 1
-        }
-        i += 1
-      }
-      residual = maxD
-      active = nActive + marksThis
-      iter += 1
-      localIters += 1
-    }
-
-    // fold in-flight local messages: S-deltas always (terminal S-fold /
-    // next-round delivery); marks only when the run CONTINUES distributed
-    // (the distributed loop likewise drops in-flight marks at termination)
-    var i = 0
-    while (i < F) {
-      s(i) += pendS(i)
-      if (aborted && pendF(i)) flag(i) = true
-      i += 1
-    }
-
-    // ---- group the patch per partition and write back in one job --------
-    val patch = new Array[(Array[Int], Array[Double], Array[Double], Array[Boolean])](parts)
-    base = 0
-    collected.foreach { tp =>
-      val n = tp.idxs.length
-      patch(tp.part) = (tp.idxs,
-        java.util.Arrays.copyOfRange(rank, base, base + n),
-        java.util.Arrays.copyOfRange(s, base, base + n),
-        java.util.Arrays.copyOfRange(flag, base, base + n))
-      base += n
-    }
-    val bIdx = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofInt)
-    val bVal = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofDouble)
-    boundary.forEach { (k, v) =>
-      val key = k.longValue()
-      bIdx((key >>> 32).toInt) += (key & 0xffffffffL).toInt
-      bVal((key >>> 32).toInt) += v.doubleValue()
-    }
-    val bMark = Array.fill(parts)(new scala.collection.mutable.ArrayBuilder.ofInt)
-    if (aborted) boundaryMarks.forEach { k =>
-      val key = k.longValue()
-      bMark((key >>> 32).toInt) += (key & 0xffffffffL).toInt
-    }
-    val bc = sc.broadcast((patch,
-      bIdx.map(_.result()), bVal.map(_.result()), bMark.map(_.result())))
-
-    val newCur: RDD[(CsrState, Array[(Int, Msg)])] =
-      cur.map(_._1).zipPartitions(msgs, preservesPartitioning = true) {
-        (stIt, mIt) =>
-          val st0 = stIt.next()
-          val st = CsrState(st0.rank.clone(), st0.s.clone(), st0.flag.clone())
-          // identical message application as the collect job
-          mIt.foreach { case (_, (idxs, deltas, marks)) =>
-            var j = 0
-            while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
-            j = 0
-            while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
-          }
-          val p = org.apache.spark.TaskContext.getPartitionId()
-          val (pi, pr2, ps, pf) = bc.value._1(p) match {
-            case null => (Array.empty[Int], Array.empty[Double],
-              Array.empty[Double], Array.empty[Boolean])
-            case t => t
-          }
-          var j = 0
-          while (j < pi.length) {
-            st.rank(pi(j)) = pr2(j); st.s(pi(j)) = ps(j); st.flag(pi(j)) = pf(j)
-            j += 1
-          }
-          val di = bc.value._2(p); val dv = bc.value._3(p)
-          j = 0
-          while (j < di.length) { st.s(di(j)) += dv(j); j += 1 }
-          val dm = bc.value._4(p)
-          j = 0
-          while (j < dm.length) { st.flag(dm(j)) = true; j += 1 }
-          Iterator.single((st, Array.empty[(Int, Msg)]))
-      }
-    newCur.persist(StorageLevel.MEMORY_AND_DISK).count()
-    msgs.unpersist(false)
-    // NOTE: do NOT destroy() the patch broadcast — newCur's task closure
-    // references it, and any later stage that re-serializes newCur's
-    // lineage (the next superstep, finalState) would hit
-    // INTERNAL_ERROR_BROADCAST. The ContextCleaner reclaims it when the
-    // closure is GC'd with the unpersisted RDD.
-    CsrDynamic.localTailRuns.incrementAndGet()
-    CsrDynamic.localTailIters.addAndGet(localIters.toLong)
-    Some((newCur, localIters, residual, active, aborted))
-  }
 }
 
 object CsrDynamic {
-
-  /** Diagnostics: how many driver-local tail fast-forwards ran and how many
-    * supersteps they absorbed (read+reset by Bench; monotone otherwise). */
-  val localTailRuns = new java.util.concurrent.atomic.AtomicLong
-  val localTailIters = new java.util.concurrent.atomic.AtomicLong
 
   /** Fixed-cost decomposition diagnostics (delta'd by Bench): distributed
     * supersteps executed, and the summed per-superstep critical-path kernel
@@ -830,10 +488,12 @@ object CsrDynamic {
   val superstepRuns = new java.util.concurrent.atomic.AtomicLong
   val kernelCritNanos = new java.util.concurrent.atomic.AtomicLong
 
-  /** Affected-set size (flagged + in-flight marks) and its out-edge count at
-    * the superstep where each run's set was LARGEST — evidences the local-
-    * tail budget decision (tail fires only under localTailMaxVerts/Edges;
-    * at web-graph batch closures these peaks sit far above it). */
+  /** Exact flagged-vertex count and its out-edge count at the superstep
+    * where each run's affected set was LARGEST — evidences how wide the
+    * DF/DF-P wavefront gets (at web-graph batch closures it approaches |V|:
+    * the relative-change marking rule keeps expanding below the stop
+    * tolerance, which is why a driver-local tail cannot engage under
+    * reference parameters — see BASELINE.md protocol step 9). */
   val peakActive = new java.util.concurrent.atomic.AtomicLong
   val peakActiveEdges = new java.util.concurrent.atomic.AtomicLong
 
@@ -852,14 +512,6 @@ object CsrDynamic {
   /** Per-partition loop state, aligned to the CSR block's vertex array. */
   final case class CsrState(rank: Array[Double], s: Array[Double],
       flag: Array[Boolean])
-
-  /** One partition's flagged sub-CSR, shipped to the driver by
-    * [[CsrDynamic.localTail]]: `idxs` are the flagged LOCAL indices (sorted),
-    * `offs`/`adj` the concatenated adjacency of exactly those vertices with
-    * destinations still packed as (part, idx). */
-  final case class TailPart(part: Int, idxs: Array[Int], rank: Array[Double],
-      s: Array[Double], invDeg: Array[Double], offs: Array[Int],
-      adj: Array[Long])
 
   /** Packed message batch for one target partition:
     * (local idxs, S deltas, marked local idxs). */
@@ -1079,31 +731,6 @@ object CsrDynamic {
       (0 until parts).iterator
         .filter(q => nd(q) > 0 || nm(q) > 0)
         .map(q => (q, (outI(q), outV(q), outM(q)): Msg))
-    }
-  }
-
-  /** Fixed-capacity open-address primitive map (packed (part,idx) key →
-    * dense index); get returns -1 on miss. Sized once by [[CsrDynamic
-    * .localTail]] (key count known up front). */
-  private[pagerank] final class LongIntMap(expected: Int) {
-    private val cap = java.lang.Integer.highestOneBit(
-      math.max(16, expected * 2 - 1)) * 2
-    private val keys = new Array[Long](cap)
-    private val vals = new Array[Int](cap)
-    private val used = new Array[Boolean](cap)
-    private def slot(key: Long): Int = {
-      var h = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (cap - 1)
-      while (used(h) && keys(h) != key) h = (h + 1) & (cap - 1)
-      h
-    }
-    def put(key: Long, v: Int): Unit = {
-      val h = slot(key)
-      if (!used(h)) { used(h) = true; keys(h) = key }
-      vals(h) = v
-    }
-    def get(key: Long): Int = {
-      val h = slot(key)
-      if (used(h)) vals(h) else -1
     }
   }
 

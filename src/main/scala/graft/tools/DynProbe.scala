@@ -39,7 +39,7 @@ object DynProbe {
     val verts = s.range(pages).select(col("id"))
     val x = EdgeOps.withSelfLoops(staged.select("src", "dst"), verts).cache()
     x.count()
-    val dyn = new CsrDynamic(s, localTailMaxVerts = 0) // pure distributed
+    val dyn = new CsrDynamic(s)
     val g0 = new CsrPageRank(s).build(x)
     val (_, st0) = dyn.staticWithState(g0)
     val del = x.where(col("src") =!= col("dst"))
@@ -72,8 +72,7 @@ object DynProbe {
     // sides of each pair; report per-variant medians.
     val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt
     val dynAdaptive = dyn
-    val dynDense = new CsrDynamic(s, localTailMaxVerts = 0,
-      adaptivePush = false)
+    val dynDense = new CsrDynamic(s, adaptivePush = false)
     def oneRun(d: CsrDynamic): (Double, Double, Int) = {
       val ss0 = CsrDynamic.superstepRuns.get()
       val kn0 = CsrDynamic.kernelCritNanos.get()

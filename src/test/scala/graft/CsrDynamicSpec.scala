@@ -64,7 +64,7 @@ class CsrDynamicSpec extends AnyFunSuite {
     val xDf = TestSpark.edgesDf(spark, base)
     val insDf = TestSpark.edgesDf(spark, ins)
     val none = insDf.limit(0)
-    val dyn = new CsrDynamic(spark, localTailMaxVerts = 0) // distributed only
+    val dyn = new CsrDynamic(spark)
     val g0 = new CsrPageRank(spark).build(xDf)
     val (_, st0) = dyn.staticWithState(g0)
     val ss0 = CsrDynamic.superstepRuns.get()
@@ -78,35 +78,6 @@ class CsrDynamicSpec extends AnyFunSuite {
     // kernel critical path can never exceed the loop's wall time
     assert((CsrDynamic.kernelCritNanos.get() - kn0) / 1e6 <=
       run.stats.computeTimeMs)
-  }
-
-  test("driver-local tail engages and matches the all-distributed run exactly") {
-    val (base, ins) = fixture(300L)
-    val xDf = TestSpark.edgesDf(spark, base)
-    val insDf = TestSpark.edgesDf(spark, ins)
-    val none = insDf.limit(0)
-    for (prune <- Seq(false, true)) {
-      // tail disabled via a zero budget — pure distributed loop
-      val dynOff = new CsrDynamic(spark, localTailMaxVerts = 0)
-      val gA = new CsrPageRank(spark).build(xDf)
-      val (_, stA) = dynOff.staticWithState(gA)
-      val (_, runOff, _) = dynOff.applyBatch(gA, stA, insDf, none, prune)
-
-      val runsBefore = CsrDynamic.localTailRuns.get()
-      val dynOn = new CsrDynamic(spark)
-      val gB = new CsrPageRank(spark).build(xDf)
-      val (_, stB) = dynOn.staticWithState(gB)
-      val (_, runOn, _) = dynOn.applyBatch(gB, stB, insDf, none, prune)
-      assert(CsrDynamic.localTailRuns.get() > runsBefore,
-        s"prune=$prune: local tail never engaged on a 300-vertex run")
-
-      val a = TestSpark.collectRanks(runOff.ranks)
-      val b = TestSpark.collectRanks(runOn.ranks)
-      assert(runOn.stats.iterations === runOff.stats.iterations,
-        s"prune=$prune: local tail changed the iteration count")
-      assert(Oracle.allclose(a, b, 1e-12),
-        s"prune=$prune maxDiff=${Oracle.maxDiff(a, b)}")
-    }
   }
 
   test("CSR DF-P (pruning) after a mixed insertion+deletion batch: allclose oracle") {
