@@ -255,18 +255,27 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       .partitionBy(ip(parts))
 
     // Splice blocks; emit S-corrections + DF initial marking as messages.
+    // The spliced edge total rides the SAME job as a retry-idempotent
+    // per-partition accumulator — counting it afterwards cost a full extra
+    // pass over the block cache per batch (a measurable slice of a
+    // small-fraction batch's wall, VERDICT r4 item 4).
     val vc = sc.broadcast(g.vCounts)
+    val nEdgesAcc = new PartitionValueAcc
+    sc.register(nEdgesAcc)
     val spliced = routed.zipPartitions(g.blocks, state,
       preservesPartitioning = true) { (eIt, bIt, stIt) =>
       val b = bIt.next()
       val st = stIt.next()
-      Iterator.single(spliceBlock(b, st, eIt, vc.value.length))
+      val out = spliceBlock(b, st, eIt, vc.value.length)
+      nEdgesAcc.add((org.apache.spark.TaskContext.getPartitionId(),
+        out._1.offsets.last.toDouble))
+      Iterator.single(out)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     spliced.count()
 
     val newBlocks = spliced.map(_._1)
-    newBlocks.persist(StorageLevel.MEMORY_AND_DISK).count()
-    val nEdges = newBlocks.map(_.offsets.last.toLong).sum().toLong
+    newBlocks.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = nEdgesAcc.value.values.sum.toLong
     val newG = CsrGraph(newBlocks, g.vCounts, g.n, nEdges)
 
     // Loop state: (state with patches NOT yet applied, patch messages as the
@@ -290,7 +299,14 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
             Iterator.single((st, pat ++ mIt.toArray))
         }
     }
-    cur.persist(StorageLevel.MEMORY_AND_DISK).count()
+    // ONE job materializes BOTH long-lived caches (blocks + loop state):
+    // each zipped partition pulls its newBlocks and cur partitions out of
+    // the spliced cache, so nothing is computed twice and the second
+    // count-job the pre-r5 code paid per batch is gone.
+    cur.persist(StorageLevel.MEMORY_AND_DISK)
+    newBlocks.zipPartitions(cur, preservesPartitioning = true) {
+      (bIt, cIt) => bIt.foreach(_ => ()); cIt.foreach(_ => ()); Iterator.single(0)
+    }.count()
     spliced.unpersist(false)
     val (run, finalState) =
       runLoop(newG, cur, prune, t0, System.nanoTime(), fixedFrontier)
@@ -324,19 +340,16 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     while (iter < opts.maxIterations && residual >= opts.tolerance &&
         active > 0) {
       // registered UNNAMED: named accumulators pin an entry in the context
-      // registry per registration — two per superstep across a long-lived
+      // registry per registration — one per superstep across a long-lived
       // streaming session is a slow leak; unnamed ones are weak-ref'd and
-      // reclaimed with the superstep's closure.
-      val resAcc = new PartitionValueAcc
-      val activeAcc = new PartitionValueAcc
-      val edgeAcc = new PartitionValueAcc
-      val markAcc = new PartitionValueAcc
-      val taskNanosAcc = new PartitionValueAcc
-      sc.register(resAcc)
-      sc.register(activeAcc)
-      sc.register(edgeAcc)
-      sc.register(markAcc)
-      sc.register(taskNanosAcc)
+      // reclaimed with the superstep's closure. The five per-superstep
+      // scalars ride ONE packed vector accumulator: each task result then
+      // carries a single accumulator update instead of five, and the driver
+      // merges once (VERDICT r4 item 4's accumulator-sextet suggestion,
+      // kept retry-safe by staying fresh-per-superstep + per-partition
+      // overwrite-idempotent).
+      val statAcc = new PartitionVecAcc
+      sc.register(statAcc)
       val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
@@ -412,28 +425,26 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
           }
           i += 1
         }
-        resAcc.add((p, maxD))
-        // still-active = flagged locally + marks in flight (receivers get
-        // flagged next round) — folded into one accumulator, no extra job
-        activeAcc.add((p, nActive.toDouble + push.markCount))
-        edgeAcc.add((p, flagEdges.toDouble))
-        markAcc.add((p, push.markCount.toDouble))
         val outArr = push.emit().toArray
-        taskNanosAcc.add((p, (System.nanoTime() - tTask0).toDouble))
+        // still-active = flagged locally + marks in flight (receivers get
+        // flagged next round) — folded into the stats, no extra job
+        statAcc.add((p, Array(maxD, nActive.toDouble + push.markCount,
+          flagEdges.toDouble, push.markCount.toDouble,
+          (System.nanoTime() - tTask0).toDouble)))
         Iterator.single((st, outArr))
       }
       nxt.persist(StorageLevel.MEMORY_AND_DISK)
       if ((iter + 1) % 15 == 0) nxt.localCheckpoint()
       nxt.count()
-      residual = if (resAcc.value.isEmpty) 0.0 else resAcc.value.values.max
-      active = activeAcc.value.values.map(_.toLong).sum
-      val markCnt = markAcc.value.values.sum
+      val stats = statAcc.value.values
+      residual = if (stats.isEmpty) 0.0 else stats.map(_(0)).max
+      active = stats.map(_(1).toLong).sum
+      val markCnt = stats.map(_(3)).sum
       val flagCnt = active.toDouble - markCnt
-      val flagEdgeCnt = edgeAcc.value.values.sum
+      val flagEdgeCnt = stats.map(_(2)).sum
       CsrDynamic.superstepRuns.incrementAndGet()
-      if (taskNanosAcc.value.nonEmpty)
-        CsrDynamic.kernelCritNanos.addAndGet(
-          taskNanosAcc.value.values.max.toLong)
+      if (stats.nonEmpty)
+        CsrDynamic.kernelCritNanos.addAndGet(stats.map(_(4)).max.toLong)
       // diagnostic: exact flagged-vertex count (not the flag+in-flight-
       // marks upper estimate) at the superstep where the affected set
       // peaked — evidences how wide the DF/DF-P wavefront gets on this
@@ -548,6 +559,22 @@ object CsrDynamic {
       case _ => false
     }
     override def hashCode(): Int = parts
+  }
+
+  /** Retry-safe per-partition stats-vector accumulator (overwrite-
+    * idempotent): one task result carries one update holding all of a
+    * superstep's per-partition scalars — [maxDelta, active, flagEdges,
+    * marks, taskNanos] — instead of five separate accumulators. */
+  final class PartitionVecAcc
+      extends org.apache.spark.util.AccumulatorV2[(Int, Array[Double]), Map[Int, Array[Double]]] {
+    private var m = Map.empty[Int, Array[Double]]
+    def isZero: Boolean = m.isEmpty
+    def copy(): PartitionVecAcc = { val a = new PartitionVecAcc; a.m = m; a }
+    def reset(): Unit = m = Map.empty
+    def add(x: (Int, Array[Double])): Unit = m += x
+    def merge(o: org.apache.spark.util.AccumulatorV2[(Int, Array[Double]), Map[Int, Array[Double]]]): Unit =
+      m ++= o.value
+    def value: Map[Int, Array[Double]] = m
   }
 
   /** Retry-safe per-partition scalar accumulator (overwrite-idempotent). */
