@@ -915,6 +915,31 @@ object Bench {
         while (i < a.length) { sum += math.abs(a(i) - o(i)); i += 1 }
         Iterator.single(sum)
       }.sum()
+    // Incremental emit (r5 protocol step 0 applied here too): rounds 4-5 lost
+    // two full ~60-min endurance runs to silent kills because the artifact was
+    // written ONCE at the end. Rewrite ENDURANCE.json after every oracle
+    // sample so a kill at any point still ships every sample measured so far.
+    def emitPartial(batchesCompleted: Int, done: Boolean): Unit = {
+      val fields = Seq(
+        ("metric", "\"endurance_l1_drift\"", true),
+        ("value", f"${if (l1Df.isEmpty) Double.NaN else l1Df.max}%.3e", true),
+        ("unit", "\"l1_error\"", true),
+        ("pages", pages.toString, true),
+        ("n_batches", nBatches.toString, true),
+        ("batches_completed", batchesCompleted.toString, true),
+        ("complete", done.toString, true),
+        ("batch_edges", batchLen.toString, true),
+        ("sample_batches", sampleBatch.mkString("[", ",", "]"), true),
+        ("l1_err_df", arr(l1Df.toSeq, "%.3e"), true),
+        ("l1_err_dfp", arr(l1Dfp.toSeq, "%.3e"), true),
+        ("df_secs_first10", arr(dfSecs.take(10).toSeq), true),
+        ("df_secs_last10", arr(dfSecs.takeRight(10).toSeq), true),
+        ("df_batch_secs", arr(dfSecs.toSeq), false),
+        ("dfp_batch_secs", arr(dfpSecs.toSeq), false))
+      // endurance is a supplementary artifact — never clobber the round
+      // driver's BENCH_LAST.json mirror
+      writeMirror(fields, "ENDURANCE.json")
+    }
     for (b <- 0 until nBatches) {
       val ins = staged
         .where(col("seq") >= cuts(b) && col("seq") < cuts(b + 1))
@@ -927,12 +952,16 @@ object Bench {
       val ((gDfp2, _, stDfp2), tP) =
         time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
       dfSecs += tD; dfpSecs += tP
+      System.err.println(f"[endurance] batch ${b + 1}/$nBatches df $tD%.2fs dfp $tP%.2fs")
       if ((b + 1) % sampleEvery == 0 || b == nBatches - 1) {
         val (_, oracleRanks, _, _) = oracleCsr.staticDetailed(gDf2, crossTol = 0.0)
         sampleBatch += b
         l1Df += l1(stDf2, oracleRanks)
         l1Dfp += l1(stDfp2, oracleRanks)
         oracleRanks.unpersist(false)
+        emitPartial(b + 1, done = false)
+        System.err.println(f"[endurance] sample at batch ${b + 1}: " +
+          f"l1_df ${l1Df.last}%.3e l1_dfp ${l1Dfp.last}%.3e")
       }
       if (b > 0) {
         gDf.blocks.unpersist(false); stDf.unpersist(false)
@@ -959,6 +988,8 @@ object Bench {
       ("unit", "\"l1_error\"", true),
       ("pages", pages.toString, true),
       ("n_batches", nBatches.toString, true),
+      ("batches_completed", nBatches.toString, true),
+      ("complete", "true", true),
       ("batch_edges", batchLen.toString, true),
       ("sample_batches", sampleBatch.mkString("[", ",", "]"), true),
       ("l1_err_df", arr(l1Df.toSeq, "%.3e"), true),
