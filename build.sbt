@@ -31,6 +31,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fixed-size, pre-touched heap: with the default tiny -Xms, G1 UNCOMMITS
+  // the heap back to ~2G at every explicit Full GC (Bench settles between
+  // measurement runs with System.gc()) and then re-expands toward -Xmx
+  // DURING the next measured window — multi-GB page commit + zeroing billed
+  // to supersteps, plus multi-second young-evacuation pauses while G1's
+  // adaptive sizing re-learns from scratch each run (observed: 65 s of GC
+  // pauses, max 6.8 s, in one 20-min bench run; the first scaling pair of
+  // every run was systematically the worst). Xms=Xmx stops the
+  // commit/uncommit cycling; AlwaysPreTouch moves the one-time zeroing cost
+  // to JVM startup, outside any measured window.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
   // JDK-8192647: with 32 executor threads in JNI-critical sections (shuffle
   // compression) a GCLocker-starved allocation can throw a SPURIOUS OOM
   // after the default 2 retries even with heap to spare — observed once as
@@ -39,4 +51,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (diagnostic flag — needs unlocking).
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").map(_.split("\\s+").toSeq).getOrElse(Nil)
