@@ -802,12 +802,10 @@ object Bench {
           xEdges = nextX
           if (prevX ne x0) org.apache.spark.sql.GraftBridge.freeCkpt(prevX)
           ins.unpersist()
-          if ((b + 1) % 10 == 0) {
-            gDf.blocks.localCheckpoint().count()
-            stDf.localCheckpoint().count()
-            gDfp.blocks.localCheckpoint().count()
-            stDfp.localCheckpoint().count()
-          }
+          // carried structures arrive lineage-free from applyBatch (in-engine
+          // pre-materialization truncation); the old every-10-batches
+          // localCheckpoint().count() here was a silent no-op — see the
+          // endurance loop's note.
           firstBatch = false
           b += 1
           done += 1
@@ -999,6 +997,25 @@ object Bench {
     val sampleBatch = new scala.collection.mutable.ArrayBuffer[Int]
     val l1Df = new scala.collection.mutable.ArrayBuffer[Double]
     val l1Dfp = new scala.collection.mutable.ArrayBuffer[Double]
+    // Per-batch drift diagnostics (added after the first shipped 100-batch
+    // artifact showed batch wall growing ~20x while L1 stayed flat): split
+    // the growth between "more supersteps" (engine/marking semantics) and
+    // "per-superstep overhead growth" (driver-global accumulation), and
+    // between kernel time and everything else.
+    val dfIters = new scala.collection.mutable.ArrayBuffer[Int]
+    val dfpIters = new scala.collection.mutable.ArrayBuffer[Int]
+    val dfKern = new scala.collection.mutable.ArrayBuffer[Double]
+    val dfpKern = new scala.collection.mutable.ArrayBuffer[Double]
+    val gcMs = new scala.collection.mutable.ArrayBuffer[Double]
+    val shufStages = new scala.collection.mutable.ArrayBuffer[Long]
+    val diskShuf = new scala.collection.mutable.ArrayBuffer[Long]
+    val gcEvery = sys.env.getOrElse("GRAFT_BENCH_GC_EVERY", "0").toInt
+    if (gcEvery > 0) CsrDynamic.trackDeps = true
+    def gcTimeMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def l1(st: org.apache.spark.rdd.RDD[CsrState],
         oracle: org.apache.spark.rdd.RDD[Array[Double]]): Double =
       st.zipPartitions(oracle) { (aIt, bIt) =>
@@ -1029,7 +1046,15 @@ object Bench {
         ("df_secs_first10", arr(dfSecs.take(10).toSeq), true),
         ("df_secs_last10", arr(dfSecs.takeRight(10).toSeq), true),
         ("df_batch_secs", arr(dfSecs.toSeq), false),
-        ("dfp_batch_secs", arr(dfpSecs.toSeq), false))
+        ("dfp_batch_secs", arr(dfpSecs.toSeq), false),
+        ("df_iters", dfIters.mkString("[", ",", "]"), false),
+        ("dfp_iters", dfpIters.mkString("[", ",", "]"), false),
+        ("df_kernel_secs", arr(dfKern.toSeq), false),
+        ("dfp_kernel_secs", arr(dfpKern.toSeq), false),
+        ("gc_ms_per_batch", arr(gcMs.toSeq, "%.0f"), false),
+        ("gc_every", gcEvery.toString, false),
+        ("shuffle_stages_per_batch", shufStages.mkString("[", ",", "]"), false),
+        ("disk_shuffle_blocks_per_batch", diskShuf.mkString("[", ",", "]"), false))
       // endurance is a supplementary artifact — never clobber the round
       // driver's BENCH_LAST.json mirror
       writeMirror(fields, "ENDURANCE.json")
@@ -1041,12 +1066,30 @@ object Bench {
         .join(xEdges, Seq("src", "dst"), "left_anti").cache()
       ins.count()
       val none = ins.limit(0)
-      val ((gDf2, _, stDf2), tD) =
+      CsrDynamic.batchTag = s"b${b + 1}-"
+      val gc0 = gcTimeMs
+      val kc0 = CsrDynamic.kernelCritNanos.get()
+      val ((gDf2, runD, stDf2), tD) =
         time(dyn.applyBatch(gDf, stDf, ins, none, prune = false))
-      val ((gDfp2, _, stDfp2), tP) =
+      val kcD = CsrDynamic.kernelCritNanos.get()
+      val ((gDfp2, runP, stDfp2), tP) =
         time(dyn.applyBatch(gDfp, stDfp, ins, none, prune = true))
+      val kcP = CsrDynamic.kernelCritNanos.get()
       dfSecs += tD; dfpSecs += tP
-      System.err.println(f"[endurance] batch ${b + 1}/$nBatches df $tD%.2fs dfp $tP%.2fs")
+      dfIters += runD.stats.iterations; dfpIters += runP.stats.iterations
+      dfKern += (kcD - kc0) / 1e9; dfpKern += (kcP - kcD) / 1e9
+      gcMs += (gcTimeMs - gc0).toDouble
+      val reg = org.apache.spark.scheduler.GraftSchedulerDiag
+        .registrySizes(s.sparkContext)
+      shufStages += reg("shuffle_map_stages")
+      diskShuf += reg("disk_shuffle_blocks")
+      System.err.println(f"[endurance] batch ${b + 1}/$nBatches " +
+        f"df $tD%.2fs/${runD.stats.iterations}it/${(kcD - kc0) / 1e9}%.2fk " +
+        f"dfp $tP%.2fs/${runP.stats.iterations}it/${(kcP - kcD) / 1e9}%.2fk " +
+        f"gc ${gcTimeMs - gc0}ms " +
+        f"reg ${reg("shuffle_map_stages")}st/${reg("shuffle_statuses")}ss/" +
+        f"${reg("disk_shuffle_blocks")}sf/${reg("disk_broadcast_blocks")}bb/" +
+        f"${reg("persistent_rdds")}pr")
       if ((b + 1) % sampleEvery == 0 || b == nBatches - 1) {
         val (_, oracleRanks, _, _) = oracleCsr.staticDetailed(gDf2, crossTol = 0.0)
         sampleBatch += b
@@ -1066,15 +1109,24 @@ object Bench {
       xEdges = EdgeOps.applyBatch(xEdges, ins, none).ckpt()
       if (prevX ne x0) org.apache.spark.sql.GraftBridge.freeCkpt(prevX)
       ins.unpersist()
-      // truncate the carried RDD chains EVERY batch: a batch adds ~60 RDDs
-      // of lineage (2/superstep), and long lineages don't just slow task
-      // serialization — every stage-submitted event carries the full
-      // RDDInfo graph, which at 10-batch truncation overflowed the
-      // listener queue and leaked the status store (see GraftSession).
-      gDf.blocks.localCheckpoint().count()
-      stDf.localCheckpoint().count()
-      gDfp.blocks.localCheckpoint().count()
-      stDfp.localCheckpoint().count()
+      // NOTE: no end-of-batch `rdd.localCheckpoint().count()` truncation
+      // here anymore — that idiom on an already-materialized RDD is
+      // silently a NO-OP (RDD.doCheckpoint is one-shot per RDD; it already
+      // ran, checkpoint-less, at first materialization), which is exactly
+      // how the stream leaked every batch's shuffle registrations. The
+      // engine now truncates each carried structure AT its materializing
+      // job (CsrDynamic.applyBatchImpl/runLoop), so carried state arrives
+      // here already lineage-free.
+      // hypothesis knob: ContextCleaner's shuffle/accumulator/broadcast
+      // reclamation is weak-reference-driven — on a large pre-touched heap
+      // GC can be rare enough that driver-global registries grow for the
+      // whole stream. Forcing a GC every K batches tests that directly.
+      if (gcEvery > 0 && (b + 1) % gcEvery == 0) {
+        System.gc()
+        val (live, total, labels) = CsrDynamic.liveDeps
+        System.err.println(s"[endurance] post-gc shuffle deps live $live/$total" +
+          s" labels=${labels.take(60).mkString(",")}")
+      }
     }
     val fields = Seq(
       ("metric", "\"endurance_l1_drift\"", true),
@@ -1091,7 +1143,15 @@ object Bench {
       ("df_secs_first10", arr(dfSecs.take(10).toSeq), true),
       ("df_secs_last10", arr(dfSecs.takeRight(10).toSeq), true),
       ("df_batch_secs", arr(dfSecs.toSeq), false),
-      ("dfp_batch_secs", arr(dfpSecs.toSeq), false))
+      ("dfp_batch_secs", arr(dfpSecs.toSeq), false),
+      ("df_iters", dfIters.mkString("[", ",", "]"), false),
+      ("dfp_iters", dfpIters.mkString("[", ",", "]"), false),
+      ("df_kernel_secs", arr(dfKern.toSeq), false),
+      ("dfp_kernel_secs", arr(dfpKern.toSeq), false),
+      ("gc_ms_per_batch", arr(gcMs.toSeq, "%.0f"), false),
+      ("gc_every", gcEvery.toString, false),
+      ("shuffle_stages_per_batch", shufStages.mkString("[", ",", "]"), false),
+      ("disk_shuffle_blocks_per_batch", diskShuf.mkString("[", ",", "]"), false))
     // endurance is a supplementary artifact — never clobber the round
     // driver's BENCH_LAST.json mirror
     emit(fields, mirror = "ENDURANCE.json")

@@ -42,6 +42,17 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // rank vectors are checkpointed per superstep for lineage truncation
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // The ContextCleaner is weak-reference-driven: shuffle/broadcast/
+      // accumulator registrations (and their on-disk files) are reclaimed
+      // only after a GC collects the owning object. On this 48 GB fixed
+      // pre-touched heap the live set is ~1-2 GB, old-gen collections
+      // essentially never trigger organically, and driver-side objects that
+      // survive a few young GCs get promoted and sit uncollected — with the
+      // default 30min periodic GC a long-lived incremental stream
+      // accumulated ~76k tmpfs shuffle files and hundreds of map-output
+      // registrations in under an hour. A 2-minute periodic full GC costs
+      // ~100 ms on this live set and keeps residency bounded.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // NOTE: do NOT set spark.shuffle.sort.bypassMergeThreshold=0 here.
       // It was tried session-wide (to spare the dynamic loop's near-empty
       // message shuffles the bypass writer's 32-files-per-map-task setup

@@ -136,7 +136,11 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         val r = rIt.next()
         Iterator.single(CsrState(r, sIt.next(), new Array[Boolean](r.length)))
     }
-    state.persist(StorageLevel.MEMORY_AND_DISK).count()
+    state.persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-materialization truncation (see applyBatchImpl): carried state
+    // must not retain the full static-run superstep chain behind prevRanks
+    state.localCheckpoint()
+    state.count()
     ranks.unpersist(false)
     state
   }
@@ -200,6 +204,10 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     * `insertions` must be tidy (not already present, endpoints in the
     * universe); `deletions` must exist. Use EdgeOps.tidy* upstream.
     */
+  /** Stream-safety invariant: the returned graph blocks and carried state
+    * are lineage-truncated (local-checkpointed) at their materializing job,
+    * so an indefinite batch loop retains NO per-superstep shuffle lineage
+    * from past batches — carried structures are always O(1) deep. */
   def applyBatch(g: CsrGraph, state: RDD[CsrState],
       insertions: DataFrame, deletions: DataFrame,
       prune: Boolean): (CsrGraph, PagerankRun, RDD[CsrState]) =
@@ -275,6 +283,18 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
 
     val newBlocks = spliced.map(_._1)
     newBlocks.persist(StorageLevel.MEMORY_AND_DISK)
+    // Truncate lineage AT the materializing job below. This must happen
+    // BEFORE the first job ever touches newBlocks: RDD.doCheckpoint() is
+    // guarded by a one-shot private flag set on first materialization, so a
+    // later `rdd.localCheckpoint().count()` on an already-materialized RDD
+    // is silently a NO-OP — the idiom this replaced. Without truncation a
+    // carried structure keeps every superstep's ShuffleDependency of the
+    // batch that built it strongly reachable, the ContextCleaner can never
+    // unregister those shuffles, and a long stream accumulates map-output
+    // registrations + on-disk shuffle files without bound (measured: +14
+    // permanently-live deps per batch, 76k tmpfs files and per-superstep
+    // driver overhead growing 74→450 ms across 45 endurance batches).
+    newBlocks.localCheckpoint()
     val nEdges = nEdgesAcc.value.values.sum.toLong
     val newG = CsrGraph(newBlocks, g.vCounts, g.n, nEdges)
 
@@ -304,6 +324,9 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     // the spliced cache, so nothing is computed twice and the second
     // count-job the pre-r5 code paid per batch is gone.
     cur.persist(StorageLevel.MEMORY_AND_DISK)
+    // same pre-materialization truncation as newBlocks above: releases the
+    // splice's two batch shuffles (and seed marking) once this job runs
+    cur.localCheckpoint()
     newBlocks.zipPartitions(cur, preservesPartitioning = true) {
       (bIt, cIt) => bIt.foreach(_ => ()); cIt.foreach(_ => ()); Iterator.single(0)
     }.count()
@@ -350,6 +373,9 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       // overwrite-idempotent).
       val statAcc = new PartitionVecAcc
       sc.register(statAcc)
+      if (CsrDynamic.trackDeps)
+        CsrDynamic.trackLabel =
+          s"${CsrDynamic.batchTag}${if (prune) "dfp" else "df"}-i$iter"
       val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
       val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
@@ -464,6 +490,9 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     // dropping them would let the "exact S" invariant drift by up to
     // |final frontier|·tolerance per batch, compounding across long streams.
     // One cheap extra job; flags/ranks are shared (not mutated).
+    if (CsrDynamic.trackDeps)
+      CsrDynamic.trackLabel =
+        s"${CsrDynamic.batchTag}${if (prune) "dfp" else "df"}-term"
     val termMsgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
     val finalState = cur.map(_._1).zipPartitions(termMsgs,
       preservesPartitioning = true) { (stIt, mIt) =>
@@ -475,7 +504,12 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       }
       Iterator.single(st)
     }
-    finalState.persist(StorageLevel.MEMORY_AND_DISK).count()
+    finalState.persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-materialization truncation (see applyBatchImpl): the carried
+    // state must not retain this run's superstep chain, or an indefinite
+    // stream leaks every superstep's shuffle registration
+    finalState.localCheckpoint()
+    finalState.count()
     val out = g.blocks.zipPartitions(finalState,
       preservesPartitioning = false) { (bIt, stIt) =>
       bIt.next().srcs.iterator.zip(stIt.next().rank.iterator)
@@ -548,7 +582,33 @@ object CsrDynamic {
       p: org.apache.spark.Partitioner): RDD[(Int, Msg)] = {
     val merge = (a: Msg, b: Msg) =>
       (a._1 ++ b._1, a._2 ++ b._2, a._3 ++ b._3)
-    msgs.combineByKeyWithClassTag[Msg]((m: Msg) => m, merge, merge, p)
+    val out = msgs.combineByKeyWithClassTag[Msg]((m: Msg) => m, merge, merge, p)
+    if (trackDeps)
+      depRefs.add((trackLabel,
+        new java.lang.ref.WeakReference[AnyRef](out.dependencies.head)))
+    out
+  }
+
+  /** Leak probe (off by default): when enabled, every message shuffle's
+    * ShuffleDependency is tracked through a WeakReference. After a forced
+    * GC, `liveDeps` counts the dependencies still strongly reachable — the
+    * ContextCleaner can only unregister a shuffle (freeing its map-output
+    * registration and on-disk files) once its dependency is collected, so a
+    * count that grows with the stream directly indicates a driver-side
+    * strong-reference retention. */
+  @volatile var trackDeps = false
+  @volatile var trackLabel = ""
+  @volatile var batchTag = ""
+  val depRefs = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, java.lang.ref.WeakReference[AnyRef])]
+  def liveDeps: (Int, Int, Seq[String]) = {
+    var live = 0; var total = 0
+    val labels = scala.collection.mutable.ArrayBuffer.empty[String]
+    depRefs.forEach { case (l, r) =>
+      total += 1
+      if (r.get() != null) { live += 1; labels += l }
+    }
+    (live, total, labels.toSeq)
   }
 
   final class IdxPartitioner(val parts: Int) extends org.apache.spark.Partitioner {
