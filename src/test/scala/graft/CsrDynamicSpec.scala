@@ -242,4 +242,42 @@ class CsrDynamicSpec extends AnyFunSuite {
     val b = TestSpark.collectRanks(staticRun.ranks)
     assert(Oracle.allclose(a, b, 1e-9))
   }
+
+  /** Count ShuffleDependencies reachable from an RDD's lineage. */
+  private def reachableShuffleDeps(root: org.apache.spark.rdd.RDD[_]): Int = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def go(r: org.apache.spark.rdd.RDD[_]): Int =
+      if (!seen.add(r.id)) 0
+      else r.dependencies.map {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] => 1 + go(s.rdd)
+        case d => go(d.rdd)
+      }.sum
+    go(root)
+  }
+
+  test("stream-safety: carried structures carry no shuffle lineage " +
+      "(the silent-no-op localCheckpoint leak, fixed r5)") {
+    // An indefinite batch loop holds only the returned (graph, state) pair.
+    // If either retains ShuffleDependencies from the batch that built it,
+    // the ContextCleaner can never unregister those shuffles (the deps stay
+    // strongly reachable) and a long stream accumulates map-output
+    // registrations + shuffle files without bound — measured pre-fix as
+    // ~14 permanently-live deps per batch and per-batch wall growing ~20x
+    // across 100 endurance batches. The fix truncates each carried
+    // structure AT its materializing job; this pins the invariant.
+    val (base, ins) = fixture()
+    val xDf = TestSpark.edgesDf(spark, base)
+    val insDf = TestSpark.edgesDf(spark, ins)
+    val none = insDf.limit(0)
+    val dyn = new CsrDynamic(spark)
+    val g0 = new CsrPageRank(spark).build(xDf)
+    val (_, st0) = dyn.staticWithState(g0)
+    assert(reachableShuffleDeps(st0) === 0,
+      "bootstrap state retains the static run's superstep chain")
+    val (g1, _, st1) = dyn.applyBatch(g0, st0, insDf, none, prune = false)
+    assert(reachableShuffleDeps(st1) === 0,
+      "carried state retains the batch's superstep chain")
+    assert(reachableShuffleDeps(g1.blocks) === 0,
+      "carried blocks retain the splice's batch shuffles")
+  }
 }
