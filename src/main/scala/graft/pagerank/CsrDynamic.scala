@@ -65,6 +65,11 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
 
   private val ip = (parts: Int) => new IdxPartitioner(parts)
 
+  /** Max supersteps fused into one Spark job (GRAFT_DYN_FUSE, default 4;
+    * 1 restores one-job-per-superstep). See [[runLoop]]'s block fusion. */
+  private val fuseMax =
+    math.max(1, sys.env.getOrElse("GRAFT_DYN_FUSE", "4").toInt)
+
   /** Contribution sums for the given ranks — one full sweep job (used once
     * per base graph; batches thereafter keep S exact incrementally). */
   def computeS(g: CsrGraph, ranks: RDD[Array[Double]]): RDD[Array[Double]] = {
@@ -336,7 +341,8 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     (newG, run, finalState)
   }
 
-  /** The superstep loop: ONE job per superstep. `cur0` pairs each
+  /** The superstep loop: ONE job per fused BLOCK of 1..fuseMax supersteps
+    * (see the block-fusion comment inside). `cur0` pairs each
     * partition's state (flags CLEARED — fresh frontier per invocation,
     * matching the reference's per-call affected vector,
     * /root/reference/inc/pagerank.hxx:683) with the first round's outgoing
@@ -360,24 +366,26 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     var iter = 0
     var residual = Double.MaxValue
     var active = 1L
-    while (iter < opts.maxIterations && residual >= opts.tolerance &&
-        active > 0) {
-      // registered UNNAMED: named accumulators pin an entry in the context
-      // registry per registration — one per superstep across a long-lived
-      // streaming session is a slow leak; unnamed ones are weak-ref'd and
-      // reclaimed with the superstep's closure. The five per-superstep
-      // scalars ride ONE packed vector accumulator: each task result then
-      // carries a single accumulator update instead of five, and the driver
-      // merges once (VERDICT r4 item 4's accumulator-sextet suggestion,
-      // kept retry-safe by staying fresh-per-superstep + per-partition
-      // overwrite-idempotent).
+
+    /** Define ONE superstep lazily — no action here. The accumulator is
+      * registered UNNAMED: named accumulators pin an entry in the context
+      * registry per registration — one per superstep across a long-lived
+      * streaming session is a slow leak; unnamed ones are weak-ref'd and
+      * reclaimed with the superstep's closure. The five per-superstep
+      * scalars ride ONE packed vector accumulator: each task result then
+      * carries a single accumulator update instead of five, and the driver
+      * merges once — per-partition OVERWRITE-idempotent, which also makes
+      * the kernel safe to run inside a ShuffleMapStage (block fusion
+      * below), where Spark may re-count updates on stage retry. */
+    def defineStep(prev: RDD[(CsrState, Array[(Int, Msg)])], iterNo: Int)
+        : (RDD[(CsrState, Array[(Int, Msg)])], PartitionVecAcc) = {
       val statAcc = new PartitionVecAcc
       sc.register(statAcc)
       if (CsrDynamic.trackDeps)
         CsrDynamic.trackLabel =
-          s"${CsrDynamic.batchTag}${if (prune) "dfp" else "df"}-i$iter"
-      val msgs = msgShuffle(cur.flatMap(_._2.iterator), ip(parts))
-      val nxt = cur.map(_._1).zipPartitions(msgs, g.blocks,
+          s"${CsrDynamic.batchTag}${if (prune) "dfp" else "df"}-i$iterNo"
+      val msgs = msgShuffle(prev.flatMap(_._2.iterator), ip(parts))
+      val nxt = prev.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
         val tTask0 = System.nanoTime()
         // copy-on-write: the incoming state objects live in the previous
@@ -460,28 +468,84 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         Iterator.single((st, outArr))
       }
       nxt.persist(StorageLevel.MEMORY_AND_DISK)
-      if ((iter + 1) % 15 == 0) nxt.localCheckpoint()
-      nxt.count()
-      val stats = statAcc.value.values
-      residual = if (stats.isEmpty) 0.0 else stats.map(_(0)).max
-      active = stats.map(_(1).toLong).sum
-      val markCnt = stats.map(_(3)).sum
-      val flagCnt = active.toDouble - markCnt
-      val flagEdgeCnt = stats.map(_(2)).sum
-      CsrDynamic.superstepRuns.incrementAndGet()
-      if (stats.nonEmpty)
-        CsrDynamic.kernelCritNanos.addAndGet(stats.map(_(4)).max.toLong)
-      // diagnostic: exact flagged-vertex count (not the flag+in-flight-
-      // marks upper estimate) at the superstep where the affected set
-      // peaked — evidences how wide the DF/DF-P wavefront gets on this
-      // workload (Bench ships it as peak_affected_verts/_edges)
-      if (flagCnt.toLong > CsrDynamic.peakActive.get()) {
-        CsrDynamic.peakActive.set(flagCnt.toLong)
-        CsrDynamic.peakActiveEdges.set(flagEdgeCnt.toLong)
+      (nxt, statAcc)
+    }
+
+    // BLOCK FUSION: define up to `fuseMax` supersteps lazily, then run ONE
+    // job. Each intermediate superstep's kernel then executes as the MAP
+    // stage of its successor's message shuffle — kernel + push emit +
+    // shuffle write in a single stage — instead of paying a separate
+    // 32-task message-map stage plus a job gap per superstep (DynProbe at
+    // 4M pages: ~38 ms of a ~165 ms small-frontier superstep wall). The
+    // fused supersteps' states persist as a side effect of those map
+    // stages, so the narrow zip consumer of each state reads it from
+    // cache. The block size is chosen so the fixpoint cannot be LEFT
+    // SHORT: fuse only while the fastest residual decay observed so far
+    // still leaves more supersteps than the block. A rare overshoot past
+    // convergence (decay accelerating beyond anything yet observed) only
+    // runs extra sub-tolerance supersteps — each moves every rank by
+    // < opts.tolerance, preserving the converged contract.
+    var rhoMin = 1.0 // fastest observed per-superstep residual decay
+    var prevResidual = Double.NaN
+    while (iter < opts.maxIterations && residual >= opts.tolerance &&
+        active > 0) {
+      val block =
+        if (fuseMax <= 1 || prevResidual.isNaN || rhoMin >= 1.0 ||
+            residual <= 0.0 || residual == Double.MaxValue) 1
+        else {
+          // underestimate of supersteps to convergence at the fastest
+          // observed decay; fusing one fewer than that cannot overshoot
+          val remainMin =
+            math.log(opts.tolerance / residual) / math.log(rhoMin)
+          math.max(1, math.min(fuseMax.toDouble,
+            math.min(remainMin - 1.0,
+              (opts.maxIterations - iter).toDouble)).toInt)
+        }
+      val steps = new scala.collection.mutable.ArrayBuffer[
+        (RDD[(CsrState, Array[(Int, Msg)])], PartitionVecAcc)](block)
+      var chain = cur
+      var k = 0
+      while (k < block) {
+        val s = defineStep(chain, iter + k)
+        steps += s
+        chain = s._1
+        k += 1
+      }
+      // lineage-cap cadence (was: every 15th superstep) at block ends
+      if ((iter + block) / 15 > iter / 15) chain.localCheckpoint()
+      chain.count()
+      var si = 0
+      while (si < steps.length) {
+        val stats = steps(si)._2.value.values
+        residual = if (stats.isEmpty) 0.0 else stats.map(_(0)).max
+        active = stats.map(_(1).toLong).sum
+        val markCnt = stats.map(_(3)).sum
+        val flagCnt = active.toDouble - markCnt
+        val flagEdgeCnt = stats.map(_(2)).sum
+        CsrDynamic.superstepRuns.incrementAndGet()
+        if (stats.nonEmpty)
+          CsrDynamic.kernelCritNanos.addAndGet(stats.map(_(4)).max.toLong)
+        // diagnostic: exact flagged-vertex count (not the flag+in-flight-
+        // marks upper estimate) at the superstep where the affected set
+        // peaked — evidences how wide the DF/DF-P wavefront gets on this
+        // workload (Bench ships it as peak_affected_verts/_edges)
+        if (flagCnt.toLong > CsrDynamic.peakActive.get()) {
+          CsrDynamic.peakActive.set(flagCnt.toLong)
+          CsrDynamic.peakActiveEdges.set(flagEdgeCnt.toLong)
+        }
+        if (!prevResidual.isNaN && prevResidual > 0.0 && residual > 0.0 &&
+            residual < prevResidual) {
+          val rho = residual / prevResidual
+          if (rho < rhoMin) rhoMin = rho
+        }
+        prevResidual = residual
+        si += 1
       }
       cur.unpersist(false)
-      cur = nxt
-      iter += 1
+      var ui = 0
+      while (ui < steps.length - 1) { steps(ui)._1.unpersist(false); ui += 1 }
+      cur = chain
+      iter += steps.length
     }
     val t3 = System.nanoTime()
 
