@@ -27,7 +27,8 @@ import CsrDynamic._
   * every S exact), and mark receivers whose sender's relative change
   * exceeded frontierTolerance (DF expansion, pagerank.hxx:688-692; DF-P
   * additionally unflags swept vertices at rest and skips the self edge,
-  * pagerankPrune.hxx:62-67). One shuffle and ONE job per superstep, with
+  * pagerankPrune.hxx:62-67). One shuffle per superstep and one job per
+  * fused BLOCK of up to 4 supersteps ([[runLoop]]'s block fusion), with
   * work O(Σ outdeg(changed)) instead of O(|E|) — this is what makes a
   * 1e-4·|E| batch converge in milliseconds-per-superstep at web scale.
   *
