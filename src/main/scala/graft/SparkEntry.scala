@@ -39,10 +39,20 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
         col("label"))
+    // A small embeddings corpus is one parquet file → one scan task, so the
+    // O(|corpus|·dim) cosine/signature work of every ANN query ran on a
+    // single core (guide §2.5 input under-splitting). Spread it only when
+    // the scan under-splits; at scale this is a no-op. Result-invariant:
+    // Ann.topK's per-partition exact heaps + deterministic global merge do
+    // not depend on partitioning, and the LSH bucket signature is per-row.
+    if (e.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    else e
+  }
 
   /** Deterministic base/batch split of the derived graph for the dynamic-
     * variant queries: x = edges minus a slice (+ self-loops on the full
@@ -100,8 +110,16 @@ object SparkEntry {
       EdgeOps.symmetrize(derivedEdges(s, dir))
         .agg(count(lit(1)).as("n_edges"))),
 
+    // Degree annotation via a window over the SAME scan instead of
+    // EdgeOps.linksWithDeg's self-join (which planned lineitem scan +
+    // distinct TWICE — 6 Exchanges; this shape is 1 scan / 3): count() over
+    // partitionBy(src) on the deduped edges is exactly outDeg, and the
+    // window's clustering key equals the old join key, so skew behavior is
+    // unchanged. Same result, oracle-checked.
     "q_indegree" -> ((s, dir) =>
-      EdgeOps.linksWithDeg(derivedEdges(s, dir))
+      derivedEdges(s, dir)
+        .withColumn("outDeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
         .groupBy("dst")
         .agg(count(lit(1)).as("in_deg"), sum("outDeg").as("sum_src_outdeg"))
         .orderBy("dst")),

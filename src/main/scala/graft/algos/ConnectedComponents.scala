@@ -66,11 +66,14 @@ object ConnectedComponents {
         .agg(min(col("component")).as("nbrMin"))
       // Materialized: the shortcut step reads it twice (as the vector and as
       // the parent lookup) — without ckpt the O(|E|) hash-min join would run
-      // twice per round.
+      // twice per round. `prev` (the round's starting label) rides along so
+      // the convergence check below is a narrow filter-count over the
+      // checkpointed round output instead of a join job per round.
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("prev"))
         .repartition(parts, col("id")).ckpt()
       // (2) shortcut: comp ← comp(comp). Labels are always existing vertex
       // ids, so the lookup always hits; left+coalesce keeps it total anyway.
@@ -78,11 +81,11 @@ object ConnectedComponents {
         .join(stepped.select(col("id").as("component"),
           col("component").as("comp2")), Seq("component"), "left")
         .select(col("id"),
-          coalesce(col("comp2"), col("component")).as("component"))
+          coalesce(col("comp2"), col("component")).as("component"),
+          col("prev"))
         .repartition(parts, col("id")).ckpt()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .where(col("component") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
       rounds += 1
     }
     (labels, rounds)

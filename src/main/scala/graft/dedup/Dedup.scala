@@ -48,6 +48,22 @@ object Dedup {
     banded.join(broadcast(local), keys, "left_anti")
   }
 
+  /** A small corpus read from one or two files arrives as one or two input
+    * splits, so every per-document heavy projection (k·|shingles| hashes per
+    * row) runs on a single core regardless of cluster size. Spread it ONLY
+    * when the scan under-splits relative to the session's parallelism —
+    * guide §2.5's "input skew: repartition immediately after the read". At
+    * scale the scan already yields ≥ parallelism splits and this is a no-op
+    * (no extra shuffle of the text payload). Hash-partition on doc_id:
+    * deterministic under task retry (guide §2.5 warns on rand-derived
+    * keys), and skew-free for distinct ids. */
+  private[graft] def spreadSmallInput(documents: DataFrame): DataFrame = {
+    val parts = documents.sparkSession.sparkContext.defaultParallelism
+    if (documents.rdd.getNumPartitions < parts)
+      documents.repartition(parts, col("doc_id"))
+    else documents
+  }
+
   /** Exact dedup: keep the smallest doc_id per identical text. Grouping by
     * xxhash64(text) keeps shuffle keys fixed-width; hash collisions are
     * resolved by grouping on (hash, text) — same plan shape, exact result. */
@@ -91,13 +107,30 @@ object Dedup {
 
   /** MinHash signature: k independent min-hashes of the shingle set, as the
     * standard xxhash64(seed_i, shingle) permutation approximation. Returns
-    * (doc_id, sig: array<long>). One aggregation, no UDAF needed. */
+    * (doc_id, sig: array<long>).
+    *
+    * Computed as ONE per-row fold over the document's shingle array — no
+    * explode, no |docs|·|shingles|-row shuffle, no k-wide aggregation: the
+    * r5 shape (explode → groupBy(doc_id) with 32 min-agg columns) shuffled
+    * every (doc, shingle) pair and spent seconds compiling the 32-column
+    * aggregate; this shape is a single narrow projection (guide §2.3/§2.4 —
+    * the signature of a document never needed to leave its row). Seeds and
+    * min-fold semantics are unchanged: element i of `sig` is
+    * min over distinct shingles of xxhash64(i: int, shingle), with the same
+    * shingle hashing as [[shingles]]. Every document emits a row (the
+    * shingle array is never empty: sequence(0, max(len-n, 0)) has ≥ 1
+    * element), exactly as the exploded form did. */
   def minhash(documents: DataFrame, n: Int = 5, k: Int = 32): DataFrame = {
-    val sh = shingles(documents, n)
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val d = spreadSmallInput(documents)
+    val t = lower(col("text"))
+    val grams = array_distinct(transform(
+      sequence(lit(0), greatest(length(t) - n, lit(0))),
+      i => xxhash64(t.substr(i + 1, lit(n)))))
+    val seeds = typedLit((0 until k).toArray)
+    val init = typedLit(Array.fill(k)(Long.MaxValue))
+    d.select(col("doc_id"),
+      aggregate(grams, init, (acc, g) =>
+        zip_with(acc, seeds, (m, s) => least(m, xxhash64(s, g)))).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature (bands×rows=k),
@@ -124,12 +157,18 @@ object Dedup {
       col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"),
       col("band"), col("bucket"))
+    // Project the (scalar) similarity BEFORE deduping candidate pairs: a
+    // dropDuplicates carrying the two array<long> signature columns plans as
+    // a SortAggregate (first() over arrays is not hash-aggregable) — an
+    // extra sort of every candidate row; deduping (a, b, sim) keeps the
+    // whole pipeline in HashAggregates (guide §2.4). `sim` is deterministic
+    // per pair, so dedup-then-score and score-then-dedup are identical.
     val cand = l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
-      .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"),
+      .select(col("a"), col("b"),
         (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           eq => eq)).cast("double") / k).as("sim"))
-      .where(col("sim") >= threshold)
+      .dropDuplicates("a", "b")
+    cand.where(col("sim") >= threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

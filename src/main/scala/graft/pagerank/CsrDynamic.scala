@@ -66,10 +66,15 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
 
   private val ip = (parts: Int) => new IdxPartitioner(parts)
 
-  /** Max supersteps fused into one Spark job (GRAFT_DYN_FUSE, default 4;
-    * 1 restores one-job-per-superstep). See [[runLoop]]'s block fusion. */
-  private val fuseMax =
-    math.max(1, sys.env.getOrElse("GRAFT_DYN_FUSE", "4").toInt)
+  /** Max supersteps fused into one Spark job (GRAFT_DYN_FUSE, default 8;
+    * 1 restores one-job-per-superstep). See [[runLoop]]'s block fusion.
+    * r6: default raised 4 → 8 — the decay-bound block sizing already
+    * prevents overshooting the fixpoint, and halving the remaining job
+    * boundaries attacks the per-job scheduling floor the r5 stage-level
+    * decomposition measured (VERDICT r5 "Next" #1a). Malformed values fall
+    * back to the default instead of aborting the run (ADVICE r5). */
+  private val fuseMax = math.max(1, sys.env.get("GRAFT_DYN_FUSE")
+    .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8))
 
   /** Contribution sums for the given ranks — one full sweep job (used once
     * per base graph; batches thereafter keep S exact incrementally). */
@@ -389,19 +394,70 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
       val nxt = prev.map(_._1).zipPartitions(msgs, g.blocks,
         preservesPartitioning = true) { (stIt, mIt, bIt) =>
         val tTask0 = System.nanoTime()
-        // copy-on-write: the incoming state objects live in the previous
-        // RDD's cache — mutating them in place would corrupt the cached
-        // partition if this task were retried after a partial sweep
         val st0 = stIt.next()
-        val st = CsrState(st0.rank.clone(), st0.s.clone(), st0.flag.clone())
         val b = bIt.next()
         val p = org.apache.spark.TaskContext.getPartitionId()
+        // Drain the (few, packed) incoming message batches first so the
+        // clone decisions below can see what this task will actually touch.
+        val msgsArr = mIt.toArray
+        var hasDelta = false
+        var hasMarks = false
+        var mi = 0
+        while (mi < msgsArr.length) {
+          val m = msgsArr(mi)._2
+          if (m._1.length > 0) hasDelta = true
+          if (m._3.length > 0) hasMarks = true
+          mi += 1
+        }
+        // frontier out-edge bound from the carried flags; marked targets
+        // add their spans as the marks are applied below
+        var fe0 = 0L
+        var ii = 0
+        while (ii < st0.flag.length) {
+          if (st0.flag(ii)) fe0 += b.offsets(ii + 1) - b.offsets(ii)
+          ii += 1
+        }
+        if (!hasDelta && !hasMarks && fe0 == 0L) {
+          // FAST PATH (r6): nothing to apply, nothing to sweep — pass the
+          // cached state through UNCLONED. Safe because every mutating path
+          // clones before writing (copy-on-write), so a shared array is
+          // never written through any generation. On small-frontier
+          // supersteps most partitions take this path, skipping three
+          // O(|V_p|) array clones + the push buffer's O(|V_p|) zero/scan
+          // per task — a dominant share of the in-stage per-task constant
+          // the r5 DynProbe decomposition measured (VERDICT r5 "Next" #1).
+          statAcc.add((p, Array(0.0, 0.0, 0.0, 0.0,
+            (System.nanoTime() - tTask0).toDouble)))
+          Iterator.single((st0, Array.empty[(Int, Msg)]))
+        } else {
+        // copy-on-write, selective (r6): the incoming state objects live in
+        // the previous RDD's cache — mutating them in place would corrupt
+        // the cached partition if this task were retried after a partial
+        // sweep. But only what THIS task mutates needs the clone: s is
+        // written only when deltas arrived; rank/flag only when a sweep
+        // runs (existing flags or incoming marks).
+        val sweeps = hasMarks || fe0 > 0L
+        val st = CsrState(
+          if (sweeps) st0.rank.clone() else st0.rank,
+          if (hasDelta) st0.s.clone() else st0.s,
+          if (sweeps) st0.flag.clone() else st0.flag)
         // (1) apply incoming deltas to S, marks to flags
-        mIt.foreach { case (_, (idxs, deltas, marks)) =>
+        mi = 0
+        while (mi < msgsArr.length) {
+          val m = msgsArr(mi)._2
+          val idxs = m._1; val deltas = m._2; val marks = m._3
           var j = 0
           while (j < idxs.length) { st.s(idxs(j)) += deltas(j); j += 1 }
           j = 0
-          while (j < marks.length) { st.flag(marks(j)) = true; j += 1 }
+          while (j < marks.length) {
+            val t = marks(j)
+            if (!st.flag(t)) {
+              st.flag(t) = true
+              fe0 += b.offsets(t + 1) - b.offsets(t)
+            }
+            j += 1
+          }
+          mi += 1
         }
         // (2) sweep the frontier, push deltas, expand — primitive-array
         // accumulation (dense thread-local buffer / open-address map),
@@ -415,12 +471,6 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
         // the open-address map is unambiguously cheaper; near-full sweeps
         // (the expansion phase — most supersteps of a converging run) keep
         // the dense buffer and its ~2 ns/edge adds.
-        var fe0 = 0L
-        var ii = 0
-        while (ii < st.flag.length) {
-          if (st.flag(ii)) fe0 += b.offsets(ii + 1) - b.offsets(ii)
-          ii += 1
-        }
         val push = PushAcc(vc.value,
           denseOk && (!adapt || fe0 * 32L >= nGlob),
           math.min(b.dstPart.length.toLong, math.max(16L, fe0)).toInt)
@@ -467,6 +517,7 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
           flagEdges.toDouble, push.markCount.toDouble,
           (System.nanoTime() - tTask0).toDouble)))
         Iterator.single((st, outArr))
+        }
       }
       nxt.persist(StorageLevel.MEMORY_AND_DISK)
       (nxt, statAcc)
@@ -673,6 +724,10 @@ object CsrDynamic {
       total += 1
       if (r.get() != null) { live += 1; labels += l }
     }
+    // purge entries whose referent is gone — a long probed stream would
+    // otherwise accumulate dead tuples without bound (ADVICE r5); `total`
+    // above still reports the lifetime count for this probe pass
+    depRefs.removeIf(e => e._2.get() == null)
     (live, total, labels.toSeq)
   }
 

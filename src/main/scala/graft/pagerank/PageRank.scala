@@ -194,14 +194,22 @@ class PageRank(spark: SparkSession, opts: PagerankOptions = PagerankOptions()) {
     val nEdges = links.count()
     val hubThreshold = opts.hubThreshold.getOrElse(
       math.max(1000000L, nEdges / parts / 4))
-    val hubs = links.groupBy(col("dst"))
-      .agg(count(lit(1)).as("inDeg"))
-      .where(col("inDeg") > hubThreshold)
-      .select(col("dst"),
-        least(lit(parts.toLong), ceil(col("inDeg") / hubThreshold).cast("long"))
-          .as("saltMod"))
-      .ckpt()
-    val hubsOpt = if (hubs.count() > 0) Some(hubs) else None
+    // No dst's in-degree can exceed |E|: when nEdges ≤ hubThreshold the hub
+    // set is empty BY CONSTRUCTION — skip the detection aggregation+ckpt
+    // job outright (it cost one full job per buildLinks on small graphs; at
+    // scale nEdges ≫ 1e6 and the detection runs exactly as before).
+    val hubsOpt =
+      if (nEdges <= hubThreshold) None
+      else {
+        val hubs = links.groupBy(col("dst"))
+          .agg(count(lit(1)).as("inDeg"))
+          .where(col("inDeg") > hubThreshold)
+          .select(col("dst"),
+            least(lit(parts.toLong), ceil(col("inDeg") / hubThreshold).cast("long"))
+              .as("saltMod"))
+          .ckpt()
+        if (hubs.count() > 0) Some(hubs) else None
+      }
     hubsOpt.foreach { h =>
       links = links.join(broadcast(h), Seq("dst"), "left")
         .select(col("src"), col("dst"), col("outDeg"),
