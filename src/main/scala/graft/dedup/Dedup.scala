@@ -193,7 +193,10 @@ object Dedup {
     * Hamming distance ≤ maxHamming. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    val withSig = documents.select(col("doc_id"), simhashCol(col("text")).as("sig"))
+    // same under-split spread as minhash: the 64-bit-per-token majority
+    // vote is the heavy per-row projection here (guide §2.5)
+    val withSig = spreadSmallInput(documents)
+      .select(col("doc_id"), simhashCol(col("text")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded0 = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>

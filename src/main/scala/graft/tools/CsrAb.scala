@@ -13,7 +13,8 @@ import graft.pagerank.{CsrDynamic, CsrPageRank}
   * Bench's sweep loop, and prints per-batch walls + supersteps. In-JVM
   * paired across env-toggled variants is not possible for GRAFT_DYN_FUSE
   * (read at CsrDynamic construction), so pass it per-process and compare
-  * medians across interleaved process runs. Deleted before round end.
+  * medians across interleaved process runs. Kept in-tree as committed
+  * measurement evidence cited by OPTIMIZATION_r06.md.
   *
   * Env: AB_PAGES (4000000), AB_CORES (32), AB_BATCHES (4), AB_FRACTION (1e-5)
   */

@@ -8,7 +8,8 @@ import graft.GraftSession
 import graft.dedup.Dedup
 
 /** TEMPORARY r6 A/B: old vs new minhash signature build + LSH tail, same
-  * session, alternating, noop-style count sink. Deleted before round end. */
+  * session, alternating, noop-style count sink. Kept in-tree as committed
+  * measurement evidence cited by OPTIMIZATION_r06.md. */
 object MinhashAb {
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)

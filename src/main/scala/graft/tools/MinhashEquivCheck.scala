@@ -8,7 +8,8 @@ import graft.dedup.Dedup
 
 /** TEMPORARY r6 equivalence check: old (explode + 32 min-agg) minhash +
   * old (dedup-then-score) LSH vs the rewritten Dedup — byte-identical rows
-  * required on both sf dirs. Deleted before round end. */
+  * required on both sf dirs. Kept in-tree as the committed equivalence
+  * evidence cited by OPTIMIZATION_r06.md. */
 object MinhashEquivCheck {
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local(32)
