@@ -72,7 +72,13 @@ class CsrDynamic(spark: SparkSession, opts: PagerankOptions = PagerankOptions(),
     * prevents overshooting the fixpoint, and halving the remaining job
     * boundaries attacks the per-job scheduling floor the r5 stage-level
     * decomposition measured (VERDICT r5 "Next" #1a). Malformed values fall
-    * back to the default instead of aborting the run (ADVICE r5). */
+    * back to the default instead of aborting the run (ADVICE r5).
+    *
+    * A/B caveat (ADVICE r5): a fused block may run a few extra
+    * SUB-TOLERANCE supersteps past the unfused loop's exit point when the
+    * residual is non-monotone, so `PagerankRun.stats.iterations` is not
+    * comparable across GRAFT_DYN_FUSE settings — compare WALL time (and
+    * ranks, which are tolerance-identical), not iteration counts. */
   private val fuseMax = math.max(1, sys.env.get("GRAFT_DYN_FUSE")
     .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8))
 
