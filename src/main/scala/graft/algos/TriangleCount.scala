@@ -35,14 +35,7 @@ object TriangleCount {
 
   /** Global triangle count. */
   def global(spark: SparkSession, symEdges: DataFrame): Long = {
-    // Materialize the (symmetrize + self-loop-drop) input once: oriented()
-    // references it three times (edges + both sides of the degree join), and
-    // without this persist the whole upstream union+dedupe subtree is
-    // planned — and, when exchange reuse doesn't fire, executed — per
-    // reference (guide §2.4).
-    val e = symEdges.select("src", "dst").where(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val o = oriented(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val o = oriented(symEdges).persist(StorageLevel.MEMORY_AND_DISK)
     // wedges a->b, b->c; close with a->c
     val ab = o.select(col("src").as("a"), col("dst").as("b"))
     val bc = o.select(col("src").as("b"), col("dst").as("c"))
@@ -51,7 +44,6 @@ object TriangleCount {
         "left_semi")
       .count()
     o.unpersist(false)
-    e.unpersist(false)
     n
   }
 
